@@ -1,38 +1,136 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (per-sink/per-tag routed counts —
+the reference's headline aggregate, ``internal/controller/dispacher.go:154-177``)
+at sf0.001.  ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` returns the DuckDB mirror built by
+``go_fluentd_spark.oracle`` (the tokenized-sequence input table is derived
+deterministically from the ``documents`` view on BOTH sides, so every stage
+is value-hash checkable).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_fluentd_spark import oracle  # noqa: E402
+from go_fluentd_spark.plans import pipeline as P  # noqa: E402
+from go_fluentd_spark.session import ensure_session_defaults  # noqa: E402
+from go_fluentd_spark.sources.synth import sequences_df  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    ensure_session_defaults(spark)
+    return P.sink_counts(spark, "/root/testdata/sf0.001")
+
+
+def _q_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequences_df(spark, sf_dir).select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+def _q_ingest_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.ingested(spark, sf_dir).groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_concat_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.concatted(spark, sf_dir).select(
+        "doc_id",
+        "tag",
+        "container_id",
+        "id",
+        "source",
+        F.col("n_merged").cast("bigint").alias("n_merged"),
+        F.array_join("ext_ids", ",").alias("ext_ids_csv"),
+    )
+
+
+def _q_acceptor_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.accepted(spark, sf_dir).groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_parsed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.parsed(spark, sf_dir).select(
+        "doc_id",
+        "tag",
+        "time",
+        "app",
+        "project",
+        "level",
+        "thread",
+        "class",
+        "line",
+        "args",
+        "args__k",
+        "message",
+        "ts",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+    )
+
+
+def _q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.sink_counts(spark, sf_dir)
+
+
+def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.routed(spark, sf_dir).select(
+        "sink",
+        "doc_id",
+        "tag",
+        "es_index",
+        "datasource",
+        "app",
+        "project",
+        "level",
+        "class",
+        "line",
+        "message",
+        "ts",
+        "msgid",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+    )
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_defaults(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sequences": _wrap(_q_sequences),
+        "ingest_tag_counts": _wrap(_q_ingest_tag_counts),
+        "concat_sessions": _wrap(_q_concat_sessions),
+        "acceptor_tag_counts": _wrap(_q_acceptor_tag_counts),
+        "parsed_fields": _wrap(_q_parsed_fields),
+        "sink_counts": _wrap(_q_sink_counts),
+        "routed_rows": _wrap(_q_routed_rows),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sequences": oracle.q_sequences(),
+        "ingest_tag_counts": oracle.q_ingest_tag_counts(),
+        "concat_sessions": oracle.q_concat_sessions(),
+        "acceptor_tag_counts": oracle.q_acceptor_tag_counts(),
+        "parsed_fields": oracle.q_parsed_fields(),
+        "sink_counts": oracle.q_sink_counts(),
+        "routed_rows": oracle.q_routed_rows(),
+    }

@@ -1,0 +1,82 @@
+"""Dispatch / producer fan-out (reference ``internal/controller/dispacher.go``
++ ``producer.go:223-329`` + sender tag-sets ``senders/base.go:60-63``).
+
+A row is delivered to EVERY sink whose tag-set contains its tag; rows with no
+sink are auto-committed away (producer.go:251-255).  Restated as one inner
+broadcast join against the (sink, tag) membership dim — duplication across
+sinks falls out of join multiplicity — or, for physical writes, N filtered
+writes from one cached frame (no join, each write's predicate pushed down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_fluentd_spark.config import PipelineConfig, sink_tag_rows
+
+
+def sink_membership(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    return spark.createDataFrame(sink_tag_rows(), "sink string, tag string")
+
+
+def route(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Logical fan-out: one row per (input row, matching sink)."""
+    dim = sink_membership(spark, cfg)
+    return df.join(F.broadcast(dim), "tag", "inner")
+
+
+def route_counts(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The per-sink/per-tag aggregate counters (dispacher.go:154-177,
+    monitor.go:19-42) — the correctness gate's headline aggregate."""
+    return (
+        route(spark, df, cfg)
+        .groupBy("sink", "tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def write_sinks(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: PipelineConfig,
+    out_dir: str,
+    salt_buckets: int = 0,
+) -> dict[str, str]:
+    """Physical fan-out: per-sink parquet tables (the Iceberg-table stand-in;
+    each write is atomic-by-directory, see plans/manifest.py for commits).
+
+    One cached parsed frame, N filtered writes (producer.go:223-329).  Hot-tag
+    skew (one tag can be ~100% of traffic, quickstart.md:122-127) is defused
+    by salting the repartition key: (tag, pmod(xxhash64(doc_id), S)) — the
+    explicit skew handling required at 10^12-row scale.
+    """
+    df = df.persist()
+    paths: dict[str, str] = {}
+    try:
+        for sink in cfg.sinks:
+            # membership predicate: env-qualified tags match exactly, bare
+            # bases match all envs (settings.yml sender tag-list semantics)
+            conds = []
+            for t in sink.tags:
+                if any(t.endswith("." + e) for e in cfg.envs):
+                    conds.append(F.col("tag") == t)
+                else:
+                    conds.append(F.col("tag_base") == t)
+            pred = conds[0]
+            for c in conds[1:]:
+                pred = pred | c
+            part = df.filter(pred)
+            if salt_buckets:
+                part = part.repartition(
+                    spark.sparkContext.defaultParallelism,
+                    F.col("tag"),
+                    F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)),
+                )
+            path = os.path.join(out_dir, f"sink={sink.name}")
+            part.write.mode("overwrite").partitionBy("tag").parquet(path)
+            paths[sink.name] = path
+    finally:
+        df.unpersist()
+    return paths

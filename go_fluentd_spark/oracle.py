@@ -1,0 +1,329 @@
+"""DuckDB-dialect SQL mirrors of the pipeline, for the driver's correctness
+gate (``__spark_entry__.oracle_sql``) and local verification.
+
+Each builder returns a complete SELECT with a WITH-chain that re-derives the
+tokenized-sequence table from the ``documents`` view and re-implements the
+pipeline stages in portable SQL.  The rule data (patterns, tag lists, dims)
+comes from ``go_fluentd_spark.config`` — one source of truth with the Spark
+side.  Only constructs whose semantics match Spark exactly are used
+(modular arithmetic, lpad/substr/trim, RE2-compatible regexes, window
+functions, string_agg ORDER BY).
+"""
+
+from __future__ import annotations
+
+from go_fluentd_spark import config as C
+from go_fluentd_spark.plans.pipeline import POST_STRING_COLS
+from go_fluentd_spark.sources import synth as S
+
+FIELDS = ["time", "app", "project", "level", "thread", "class", "line", "args", "message"]
+
+# ---------------------------------------------------------------------------
+# synth + ingest
+# ---------------------------------------------------------------------------
+
+_SEQ_CTES = f"""
+docs AS (SELECT CAST(o_orderkey AS BIGINT) AS did FROM orders),
+base1 AS (
+  SELECT did,
+    CASE WHEN did % 3 = 0 THEN 'sit' WHEN did % 3 = 1 THEN 'uat' ELSE 'prod' END AS env,
+    did % 100 AS b,
+    lpad(CAST(did % 1000 AS VARCHAR), 3, '0') AS ms3,
+    lpad(CAST(did % 1000000 AS VARCHAR), 6, '0') AS ms6,
+    CAST(did % 16 + 1 AS VARCHAR) AS nexec,
+    CAST(did AS VARCHAR) AS dids
+  FROM docs),
+base2 AS (
+  SELECT did, env, dids,
+    CASE WHEN b < 73 THEN 'spring' WHEN b < 80 THEN 'connector' WHEN b < 87 THEN 'geely'
+         WHEN b < 91 THEN 'spark' WHEN b < 94 THEN 'ramjet' WHEN b < 96 THEN 'spring'
+         WHEN b < 98 THEN 'junkapp' ELSE 'spring' END AS base,
+    CASE
+      WHEN b < 60 THEN '2018-03-06 16:56:22.' || ms3 || ' | mscparea | INFO  | http-nio-8080-exec-' || nexec || ' | {S.SPRING_CLASS} | 84: test message ' || dids
+      WHEN b < 67 THEN '2018-03-06 16:56:22.' || ms3 || ' | ms_bot7 | WARN  | http-nio-8080-exec-' || nexec || ' | com.laisky.svc.BotHandler | 112: bot event ' || dids
+      WHEN b < 73 THEN '2018-02-01 16:15:43.' || ms3 || ' | mscpsvc | INFO  | http-nio-8080-exec-' || nexec || ' | com.laisky.cp.CpService | 84: handled - ms:cp event ' || dids
+      WHEN b < 80 THEN CASE WHEN did % 2 = 0
+        THEN '2018-04-02 02:02:10.' || ms3 || ' | sh-datamining | INFO | http-nio-8080-exec-' || nexec || ' | {S.CONNECTOR_CLASS} | 74 | {{"k": "v' || CAST(did % 5 AS VARCHAR) || '"}}: request ' || dids
+        ELSE '2018-04-02 02:02:10.' || ms3 || ' | sh-datamining | INFO | http-nio-8080-exec-' || nexec || ' | {S.CONNECTOR_CLASS} | 74: plain request ' || dids END
+      WHEN b < 87 THEN '2018-02-05 10:33:13.' || ms3 || ' | geely:nlcc | INFO | http-bio-8081-exec-' || CAST(did % 9 + 1 AS VARCHAR) || ' | {S.GEELY_CLASS}:57 - Outbound Message ' || dids
+      WHEN b < 91 THEN CASE WHEN did % 2 = 0
+        THEN '2018-03-06 16:56:22,' || ms3 || ' [main] something ' || dids
+        ELSE '2018/03/06 16:56:22.' || ms3 || ' running task ' || dids END
+      WHEN b < 94 THEN '[2018-08-03T05:42:42.' || ms6 || 'Z - DEBUG - {S.RAMJET_PATH}:129] IsFileReadyToUpload for ' || dids || '.log.gz'
+      WHEN b < 96 THEN chr(9) || '{S.CONTINUATION_PREFIX}' || CAST(did % 90 + 10 AS VARCHAR) || ')'
+      WHEN b < 98 THEN 'orphan ' || dids
+      ELSE '0.' || dids END AS source,
+    CASE WHEN did % 10 = 0 THEN 1 + (did*131071) % 512 ELSE 1 + (did*131071) % 64 END AS n_tok
+  FROM base1),
+seq AS (
+  SELECT
+    base || '.' || env || '-c' || lpad(CAST(did % 50 AS VARCHAR), 4, '0') || '-' || lpad(dids, 8, '0') AS doc_id,
+    list_transform(range(0, n_tok), i -> CAST((did*2654435761 + i*40503) % {S.VOCAB} AS INT)) AS tokens,
+    CAST(n_tok AS INT) AS n_tok,
+    source
+  FROM base2),
+ingest AS (
+  SELECT seq.*,
+    split_part(doc_id, '-', 1) AS tag,
+    split_part(doc_id, '-', 2) AS container_id,
+    CAST(split_part(doc_id, '-', 3) AS BIGINT) AS id,
+    regexp_extract(split_part(doc_id, '-', 1), '\\.([a-z]+)$', 1) AS env,
+    regexp_replace(split_part(doc_id, '-', 1), '\\.[a-z]+$', '') AS tag_base
+  FROM seq)
+"""
+
+# ---------------------------------------------------------------------------
+# concat
+# ---------------------------------------------------------------------------
+
+
+def _head_case() -> str:
+    whens = []
+    by_rx: dict[str, list[str]] = {}
+    for base, c in C.CONCAT_CONFIGS.items():
+        by_rx.setdefault(c["head_regexp"], []).append(base)
+    for rx, bases in by_rx.items():
+        inlist = ", ".join(f"'{b}'" for b in bases)
+        whens.append(f"WHEN tag_base IN ({inlist}) THEN regexp_matches(source, '{rx}')")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+_CONCAT_CTES = f"""
+headed AS (
+  SELECT *, {_head_case()} AS is_head FROM ingest),
+grp AS (
+  SELECT *, CASE WHEN is_head IS NULL THEN id
+    ELSE coalesce(max(CASE WHEN is_head THEN id END) OVER
+         (PARTITION BY tag, container_id ORDER BY id ROWS UNBOUNDED PRECEDING), id)
+    END AS grp_id
+  FROM headed),
+concat0 AS (
+  SELECT tag, container_id, grp_id,
+    min(id) AS id,
+    arg_min(doc_id, id) AS doc_id,
+    arg_min(tokens, id) AS tokens,
+    arg_min(n_tok, id) AS n_tok,
+    arg_min(env, id) AS env,
+    arg_min(tag_base, id) AS tag_base,
+    string_agg(source, '' ORDER BY id) AS source,
+    count(*) AS n_merged,
+    list(id ORDER BY id) AS all_ids
+  FROM grp GROUP BY tag, container_id, grp_id),
+concatted AS (
+  SELECT * EXCLUDE (all_ids, grp_id),
+    list_filter(all_ids, x -> x <> id) AS ext_ids
+  FROM concat0)
+"""
+
+# ---------------------------------------------------------------------------
+# acceptor
+# ---------------------------------------------------------------------------
+
+
+def _retag_case() -> str:
+    whens = "\n      ".join(
+        f"WHEN regexp_matches(source, '{r['regexp']}') THEN '{r['new_tag_base']}.' || env"
+        for r in C.SPRING_RETAG_RULES
+    )
+    return f"CASE WHEN tag_base = 'spring' THEN CASE {whens} ELSE tag END ELSE tag END"
+
+
+_ACCEPT_LIST = ", ".join(f"'{t}'" for t in C.ACCEPT_TAGS)
+
+_ACCEPTOR_CTES = f"""
+retagged AS (
+  SELECT * EXCLUDE (tag, tag_base), {_retag_case()} AS tag
+  FROM concatted
+  WHERE NOT (tag_base = 'spark' AND regexp_matches(source, '{C.SPARK_IGNORE_REGEX}'))),
+accepted AS (
+  SELECT *, regexp_replace(tag, '\\.[a-z]+$', '') AS tag_base
+  FROM retagged
+  WHERE tag <> '' AND tag IN ({_ACCEPT_LIST}))
+"""
+
+# ---------------------------------------------------------------------------
+# parser (mirrors operators/parser.py: one pass, when-chains from PARSERS)
+# ---------------------------------------------------------------------------
+
+
+def _parser_case(build) -> str:
+    whens = []
+    for p in C.PARSERS:
+        inlist = ", ".join(f"'{b}'" for b in p.tag_bases)
+        whens.append(f"WHEN tag_base IN ({inlist}) THEN {build(p)}")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+def _field_sql(p: C.ParserConfig, field: str) -> str:
+    if field not in p.groups:
+        return "NULL"
+    idx = p.groups.index(field) + 1
+    return f"nullif(trim(regexp_extract(source, '{p.pattern}', {idx})), '')"
+
+
+_TIME_FAMILIES = ", ".join(
+    f"'{b}'" for p in C.PARSERS if p.time_group for b in p.tag_bases
+)
+_JSON_FAMILIES = ", ".join(
+    f"'{b}'" for p in C.PARSERS if p.parse_json_key for b in p.tag_bases
+)
+
+_TS_SQL = f"""CASE
+    WHEN tag_base IN ({_TIME_FAMILIES}) THEN
+      strftime(try_strptime(replace("time", ',', '.') || ' +0800',
+               '%Y-%m-%d %H:%M:%S.%g %z') AT TIME ZONE 'UTC',
+               '%Y-%m-%dT%H:%M:%S.%fZ')
+    WHEN tag_base = 'ramjet' THEN "time" || 'Z'
+    ELSE NULL END"""
+
+
+def _parsed_ctes() -> str:
+    matched = _parser_case(lambda p: f"regexp_matches(source, '{p.pattern}')")
+    field_cols = ",\n    ".join(
+        f'{_parser_case(lambda p, f=f: _field_sql(p, f))} AS "{f}"' for f in FIELDS
+    )
+    must = _parser_case(
+        lambda p: (f'"{p.must_include}" IS NOT NULL' if p.must_include else "TRUE")
+    )
+    time_required = _parser_case(lambda p: "TRUE" if p.time_group else "FALSE")
+    drop_log = _parser_case(lambda p: "TRUE" if p.is_remove_orig_log else "FALSE")
+    return f"""
+parsed0 AS (
+  SELECT * FROM accepted WHERE coalesce({matched}, FALSE)),
+parsed1 AS (
+  SELECT *,
+    {field_cols}
+  FROM parsed0),
+parsed2 AS (
+  SELECT * FROM parsed1 WHERE {must}),
+parsed3 AS (
+  SELECT * EXCLUDE (args),
+    CASE WHEN tag_base IN ({_JSON_FAMILIES}) AND json_valid(args)
+         THEN json_extract_string(args, '$.k') END AS args__k,
+    CASE WHEN tag_base IN ({_JSON_FAMILIES}) AND json_valid(args)
+         THEN NULL ELSE args END AS args,
+    {_TS_SQL} AS ts
+  FROM parsed2),
+parsed AS (
+  SELECT * EXCLUDE (source),
+    CASE WHEN NOT ({drop_log}) THEN source END AS source
+  FROM parsed3
+  WHERE NOT ({time_required}) OR ts IS NOT NULL)
+"""
+
+
+# ---------------------------------------------------------------------------
+# enrich + post + route
+# ---------------------------------------------------------------------------
+
+
+def _values(rows: list[tuple[str, str]], alias: str, c1: str, c2: str) -> str:
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    return f"(VALUES {vals}) AS {alias}({c1}, {c2})"
+
+
+def _enriched_ctes(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
+    ds_rows = [
+        (base, fields["datasource"])
+        for base, fields in cfg.add_fields.items()
+        if "datasource" in fields
+    ]
+    post = ",\n    ".join(
+        f'nullif(substr("{c}", 1, {cfg.post_max_len}), \'\') AS "{c}"'
+        for c in POST_STRING_COLS
+    )
+    return f"""
+enriched0 AS (
+  SELECT p.*, ds.datasource
+  FROM parsed p LEFT JOIN {_values(ds_rows, "ds", "tag_base", "datasource")}
+    ON p.tag_base = ds.tag_base),
+enriched1 AS (
+  SELECT * EXCLUDE ({", ".join(f'"{c}"' for c in POST_STRING_COLS)}),
+    {post}
+  FROM enriched0),
+enriched AS (
+  SELECT e.*, ei.es_index, '{cfg.run_key}-' || CAST(id AS VARCHAR) AS msgid
+  FROM enriched1 e LEFT JOIN {_values(C.es_index_rows(), "ei", "tag", "es_index")}
+    ON e.tag = ei.tag),
+routed AS (
+  SELECT e.*, s.sink
+  FROM enriched e JOIN {_values(C.sink_tag_rows(), "s", "sink", "tag")}
+    ON e.tag = s.tag)
+"""
+
+
+def _with(*ctes: str, final: str) -> str:
+    body = ",".join(c.strip().rstrip(",") for c in ctes)
+    return f"WITH {body}\n{final}"
+
+
+_CHAIN = [_SEQ_CTES, _CONCAT_CTES, _ACCEPTOR_CTES]
+
+
+def q_sequences() -> str:
+    return _with(
+        _SEQ_CTES,
+        final="SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source FROM seq",
+    )
+
+
+def q_ingest_tag_counts() -> str:
+    return _with(
+        _SEQ_CTES,
+        final="SELECT tag, count(*) AS n FROM ingest GROUP BY tag",
+    )
+
+
+def q_concat_sessions() -> str:
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        final="""SELECT doc_id, tag, container_id, id, source, CAST(n_merged AS BIGINT) AS n_merged,
+       coalesce(array_to_string(ext_ids, ','), '') AS ext_ids_csv
+FROM concatted""",
+    )
+
+
+def q_acceptor_tag_counts() -> str:
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        _ACCEPTOR_CTES,
+        final="SELECT tag, count(*) AS n FROM accepted GROUP BY tag",
+    )
+
+
+def q_parsed_fields() -> str:
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        _ACCEPTOR_CTES,
+        _parsed_ctes(),
+        final="""SELECT doc_id, tag, "time", app, project, level, thread, class, line,
+       args, args__k, message, ts, array_to_string(tokens, ',') AS tokens_csv, n_tok
+FROM parsed""",
+    )
+
+
+def q_sink_counts(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        _ACCEPTOR_CTES,
+        _parsed_ctes(),
+        _enriched_ctes(cfg),
+        final="SELECT sink, tag, count(*) AS n FROM routed GROUP BY sink, tag",
+    )
+
+
+def q_routed_rows(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        _ACCEPTOR_CTES,
+        _parsed_ctes(),
+        _enriched_ctes(cfg),
+        final="""SELECT sink, doc_id, tag, es_index, datasource, app, project, level, class,
+       line, message, ts, msgid, array_to_string(tokens, ',') AS tokens_csv, n_tok
+FROM routed""",
+    )
