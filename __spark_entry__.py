@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from go_fluentd_spark import oracle  # noqa: E402
+from go_fluentd_spark import oracle, oracle_dataprep  # noqa: E402
+from go_fluentd_spark.operators import dataprep as DP  # noqa: E402
 from go_fluentd_spark.plans import pipeline as P  # noqa: E402
 from go_fluentd_spark.session import ensure_session_defaults  # noqa: E402
 from go_fluentd_spark.sources.synth import sequences_df  # noqa: E402
@@ -112,8 +113,27 @@ def _wrap(fn):
     return run
 
 
+#: training-data ops (operators/dataprep.py) — oracle-checked unless noted
+_DATAPREP = {
+    "dedup_exact": DP.dedup_exact,
+    "fingerprints": DP.fingerprints,
+    "token_stats": DP.token_stats,
+    "quality_scores": DP.quality_scores,
+    "langid": DP.langid,
+    "minhash_signatures": DP.minhash_signatures,
+    "minhash_lsh_pairs": DP.minhash_lsh_pairs,
+    "ngram_jaccard_pairs": DP.ngram_jaccard_pairs,
+    "simhash16": DP.simhash16,
+    "embed_cosine_scores": DP.embed_cosine_scores,
+    "embed_lsh_buckets": DP.embed_lsh_buckets,
+    # rows-only checks (ordering/limit semantics aren't hash-stable in SQL):
+    "embed_topk": DP.embed_topk,
+    "embed_near_pairs": DP.embed_near_pairs,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         "sequences": _wrap(_q_sequences),
         "ingest_tag_counts": _wrap(_q_ingest_tag_counts),
         "concat_sessions": _wrap(_q_concat_sessions),
@@ -122,10 +142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_counts": _wrap(_q_sink_counts),
         "routed_rows": _wrap(_q_routed_rows),
     }
+    qs.update({name: _wrap(fn) for name, fn in _DATAPREP.items()})
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "sequences": oracle.q_sequences(),
         "ingest_tag_counts": oracle.q_ingest_tag_counts(),
         "concat_sessions": oracle.q_concat_sessions(),
@@ -134,3 +156,5 @@ def oracle_sql() -> dict[str, str]:
         "sink_counts": oracle.q_sink_counts(),
         "routed_rows": oracle.q_routed_rows(),
     }
+    out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})
+    return out

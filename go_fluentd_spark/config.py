@@ -287,6 +287,10 @@ class PipelineConfig:
     post_max_len: int = POST_MAX_LEN
     concat_max_len: int = CONCAT_MAX_LEN
     run_key: str = "local"  # msgid prefix (DistributeKey, controllor.go:477-480)
+    # extraction backend: "native" (JVM regexp_extract) or "pandas" (Arrow,
+    # one compiled-regex pass per family) — see operators/parser.py; both are
+    # semantics-identical, bench.py times both
+    parser_impl: str = "pandas"
 
 
 DEFAULT_CONFIG = PipelineConfig()

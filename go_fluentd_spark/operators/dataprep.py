@@ -1,0 +1,412 @@
+"""Training-data pipeline operators over the ``documents`` and ``embeddings``
+tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force cosine + LSH-bucketed), and text analysis
+(language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+These are first-class components of a 100 TB data-prep engine, not demos:
+every operator is expressed so its shuffle structure scales —
+
+- exact dedup: one hash-shuffle on ``md5(text)`` (map-side partial agg).
+- MinHash+LSH: signatures are per-row narrow work (array transforms over
+  shingles, no explode of the shingle set); only the BAND keys explode
+  (``n_bands`` rows per doc) and shuffle — the classic band-bucket join;
+  candidate verification joins only within buckets.
+- n-gram Jaccard: blocked self-join ((lang, length-bucket) with the
+  two-bucket trick so boundary pairs aren't lost) — never an all-pairs join.
+- ANN: brute-force cosine against a broadcast query vector is the exact
+  baseline; the LSH variant buckets by random-hyperplane signs so the join
+  fans out per-bucket.  At scale, swap the query-vector broadcast for an
+  IVF-style centroid assignment: same plan shape.
+
+All constants are fixed so the DuckDB oracle (``oracle_dataprep``) reproduces
+results bit-for-bit; hashes are md5-prefix based (``stable_hash64``) because
+both engines share md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from go_fluentd_spark.functions.hashing import stable_hash64
+
+# -- shared constants (mirrored by oracle_dataprep) -------------------------
+SHINGLE_K = 4
+JACCARD_TAU = 0.6
+MINHASH_P = 2147483647  # 2^31 - 1
+NUM_HASHES = 16
+NUM_BANDS = 4  # rows per band r = NUM_HASHES // NUM_BANDS = 4
+HASH_A = [2 * j + 3 for j in range(NUM_HASHES)]
+HASH_B = [j * j + 7 for j in range(NUM_HASHES)]
+LSH_PLANES = 8  # random-hyperplane count for embedding LSH
+EMB_DIM = 64
+LEN_BUCKET = 32  # n-gram jaccard blocking granularity (chars)
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "la", "de"],
+}
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text normalization + shingles
+# ---------------------------------------------------------------------------
+
+
+def norm_text(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def shingles(c: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-char shingles (positional substring — no explode)."""
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); representative = min doc_id.
+    One shuffle, map-side combine."""
+    return (
+        docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+def _shingle_hashes(text: Column) -> Column:
+    """H(shingle) % p for each distinct shingle — the minhash input."""
+    return F.transform(shingles(text), lambda s: stable_hash64(s) % MINHASH_P)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature per doc (narrow, no shuffle)."""
+    d = docs(spark, sf_dir).withColumn("_hs", _shingle_hashes(F.col("text")))
+
+    def perm(a: int, b: int):
+        return lambda h: (a * h + b) % MINHASH_P
+
+    sigs = [
+        F.array_min(F.transform(F.col("_hs"), perm(a, b))).alias(f"sig{j}")
+        for j, (a, b) in enumerate(zip(HASH_A, HASH_B))
+    ]
+    return d.select("doc_id", "lang", *sigs)
+
+
+def _band_cols(r: int = NUM_HASHES // NUM_BANDS) -> list[Column]:
+    """Fold each band's r signature values into one bucket key."""
+    out = []
+    for b in range(NUM_BANDS):
+        acc = F.lit(0).cast("bigint")
+        for j in range(b * r, (b + 1) * r):
+            acc = (acc * 31 + F.col(f"sig{j}")) % MINHASH_P
+        out.append(acc.alias(f"band{b}"))
+    return out
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket join for candidates, exact
+    jaccard verification >= tau.  Only band keys shuffle (NUM_BANDS rows/doc);
+    shingle sets stay packed in arrays."""
+    sig = minhash_signatures(spark, sf_dir).select("doc_id", *_band_cols())
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_doc"), F.col("b.doc_id").alias("b_doc")
+        )
+        .distinct()
+    )
+    sh = docs(spark, sf_dir).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({"doc_id": "a_doc", "sh": "sha"}), "a_doc")
+        .join(sh.withColumnsRenamed({"doc_id": "b_doc", "sh": "shb"}), "b_doc")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sha") + F.size("shb") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("a_doc", "b_doc", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard dedup: candidates share (lang, length bucket)
+    using the two-bucket assignment so +/-LEN_BUCKET boundary pairs survive;
+    exact jaccard >= tau."""
+    d = docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", shingles(F.col("text")).alias("sh")
+    )
+    blocked = d.select(
+        "doc_id",
+        "lang",
+        "sh",
+        F.explode(
+            F.array(
+                (F.col("n_chars") / LEN_BUCKET).cast("bigint"),
+                (F.col("n_chars") / LEN_BUCKET).cast("bigint") + 1,
+            )
+        ).alias("blk"),
+    )
+    pairs = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), ["lang", "blk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_doc"),
+            F.col("b.doc_id").alias("b_doc"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["a_doc", "b_doc"])
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("sha") + F.size("shb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("a_doc", "b_doc", "jaccard")
+    )
+    return pairs
+
+
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over whitespace words (word hash = stable md5-prefix).
+    Per-row narrow work; near-dup candidates = equal simhash."""
+    d = docs(spark, sf_dir).withColumn(
+        "_hw",
+        F.transform(
+            F.split(norm_text(F.col("text")), " "),
+            lambda w: stable_hash64(w) % 65536,
+        ),
+    )
+    def bit_test(b: int):
+        return lambda h: F.shiftright(h, b) % 2 == 1
+
+    bits = []
+    for b in range(16):
+        ones = F.size(F.filter(F.col("_hw"), bit_test(b)))
+        bits.append(
+            F.when(ones * 2 > F.size("_hw"), F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    acc = bits[0]
+    for c in bits[1:]:
+        acc = acc + c
+    return d.select("doc_id", acc.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: stable 60-bit hash of normalized text."""
+    return docs(spark, sf_dir).select(
+        "doc_id", stable_hash64(norm_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (letter-runs | digits | single punct)."""
+    t = norm_text(F.col("text"))
+    return docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _count_occurrences(t: Column, needle: str) -> Column:
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, punct ratio -> [0,1] score.
+    Pure integer counting + one rounded division (oracle-stable)."""
+    t = F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" "))
+    n_words = F.size(F.split(norm_text(F.col("text")), " "))
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_occurrences(t, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_hits * 5.0 / n_words, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(n_punct * 10.0 / F.length("text"), F.lit(1.0))) * 0.2
+    )
+    return docs(spark, sf_dir).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_hits.alias("stopword_hits"),
+        n_punct.alias("n_punct"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language, argmax
+    with fixed priority (en > de > es > unknown)."""
+    t = F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" "))
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        h = None
+        for w in markers:
+            c = _count_occurrences(t, f" {w} ")
+            h = c if h is None else h + c
+        hits[lang] = h
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]) & (hits["en"] > 0),
+            "en",
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] > 0), "de")
+        .when(hits["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("lang_tagged"),
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["es"].alias("es_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dotd(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dotd(a, a))
+
+
+def embed_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine of every vector against the query vector (the
+    min-vec_id row), broadcast — the exact-ANN baseline.  At scale the
+    broadcast side is the (small) query batch; the big side never shuffles."""
+    e = embs(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dotd(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                4,
+            ).alias("cos"),
+        )
+    )
+
+
+def embed_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k by cosine (desc, vec_id asc tie-break)."""
+    return (
+        embed_cosine_scores(spark, sf_dir)
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _plane_weight(i: int, j: int) -> int:
+    return ((i * 37 + j * 101) % 13) - 6
+
+
+def embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 deterministic integer hyperplanes; bucket =
+    sign-bit pattern.  The scale path for ANN: candidates only join within a
+    bucket."""
+    e = embs(spark, sf_dir)
+    acc = F.lit(0)
+    for j in range(LSH_PLANES):
+        dot_j = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(_plane_weight(i, j)) for i in range(EMB_DIM)]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return e.select("vec_id", "label", acc.alias("bucket"))
+
+
+def embed_near_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.95) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucketed candidates + exact cosine."""
+    b = embed_lsh_buckets(spark, sf_dir)
+    e = embs(spark, sf_dir).join(b.select("vec_id", "bucket"), "vec_id")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_vec"),
+            F.col("b.vec_id").alias("b_vec"),
+            F.round(
+                _dotd(F.col("a.embedding"), F.col("b.embedding"))
+                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+                4,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    return pairs

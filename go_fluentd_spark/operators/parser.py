@@ -6,11 +6,12 @@ empty groups are absent keys (``library/utils.go:60-73``); a non-matching row
 is DISCARDED (``parser_f.go:57-63``); unparseable time is DISCARDED
 (``parser_f.go:121-168``).
 
-Spark restatement: ONE projection pass.  Every per-tag pattern is compiled
-into a when-chain keyed on tag_base, so the whole parser is a single
-codegen'd select over one scan — no per-tag branches, no union, no Python.
-The alternative pandas-UDF path (``pd.Series.str.extract``, one regex run per
-row instead of one per group) lives in ``parse_pandas_udf`` for benchmarking.
+Spark restatement: ONE projection pass.  Two interchangeable extraction
+backends, selected by ``PipelineConfig.parser_impl`` and benchmarked against
+each other in bench.py: ``native`` (codegen'd regexp_extract when-chains —
+the regex runs once per group) and ``pandas`` (Arrow batch, ONE compiled
+regex pass per family via ``pd.Series.str.extract``).  The shared post
+stages (must_include, JSON explode, time normalize) are pure Column exprs.
 
 Group -> unified column mapping (NULL where a family lacks the field):
 time, app, level, thread, class, line, args, message.
@@ -18,6 +19,7 @@ time, app, level, thread, class, line, args, message.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import Column, DataFrame, functions as F
 
 from go_fluentd_spark.config import ParserConfig, PipelineConfig
@@ -46,15 +48,64 @@ def _group_col(p: ParserConfig, field: str) -> Column:
     return F.nullif(F.trim(F.regexp_extract(F.col("source"), p.pattern, idx)), F.lit(""))
 
 
-def parse(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Single-pass parser over all configured tag families."""
-    parsers = cfg.parsers
-
+def extract_native(df: DataFrame, parsers: list[ParserConfig]) -> DataFrame:
+    """JVM extraction: codegen'd regexp_extract per group (the regex runs
+    once per group — N+1 runs/row)."""
     matched = _family_case(parsers, lambda p: F.col("source").rlike(p.pattern))
     df = df.filter(F.coalesce(matched, F.lit(False)))  # no parser => discard
-
     cols = {f: _family_case(parsers, lambda p, f=f: _group_col(p, f)) for f in FIELDS}
-    df = df.withColumns(cols)
+    return df.withColumns(cols)
+
+
+def extract_pandas(df: DataFrame, parsers: list[ParserConfig]) -> DataFrame:
+    """Arrow extraction: ONE compiled-regex pass per family via
+    ``pd.Series.str.extract`` (regex compiled once per executor, never per
+    row — SURVEY.md §2.6's preferred multi-group path).  Semantics identical
+    to :func:`extract_native`; pick by measurement (bench.py times both).
+    """
+    import re
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField(f, T.StringType()) for f in FIELDS]
+        + [T.StructField("_m", T.BooleanType())]
+    )
+    compiled = [(list(p.tag_bases), p.pattern, list(p.groups)) for p in parsers]
+
+    @F.pandas_udf(out_schema)
+    def extract(tag_base: pd.Series, source: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {f: pd.Series(None, index=source.index, dtype=object) for f in FIELDS}
+        )
+        out["_m"] = False
+        for bases, pat, groups, in compiled:
+            mask = tag_base.isin(bases)
+            if not mask.any():
+                continue
+            rx = re.compile(pat)
+            ext = source[mask].str.extract(rx)
+            ext.columns = groups[: ext.shape[1]]
+            hit = ext.notna().any(axis=1)
+            for g in groups:
+                vals = ext[g].str.strip()
+                vals = vals.where(vals.notna() & (vals != ""), None)
+                out.loc[vals.index, g] = vals
+            out.loc[hit.index, "_m"] = hit
+        return out
+
+    st = extract(F.col("tag_base"), F.col("source")).alias("_p")
+    df = df.withColumn("_p", st).filter(F.col("_p._m"))
+    df = df.withColumns({f: F.col(f"_p.{f}") for f in FIELDS})
+    return df.drop("_p")
+
+
+def parse(df: DataFrame, cfg: PipelineConfig, impl: str | None = None) -> DataFrame:
+    """Parser over all configured tag families: extraction (native | pandas)
+    + the shared post stages (must_include, JSON explode, time normalize)."""
+    parsers = cfg.parsers
+    impl = impl or getattr(cfg, "parser_impl", "native")
+    df = (extract_pandas if impl == "pandas" else extract_native)(df, parsers)
 
     # must_include gate (parser_f.go:112-118)
     must_ok = _family_case(
@@ -116,46 +167,3 @@ def parse(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     drop_log = _family_case(parsers, lambda p: F.lit(p.is_remove_orig_log))
     df = df.withColumn("source", F.when(~drop_log, F.col("source")))
     return df
-
-
-def parse_pandas_udf(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Alternate slow-path parser: one vectorized ``str.extract`` per family
-    (regex compiled once per executor).  Kept for benchmarking against the
-    codegen'd `parse`; semantics identical for the unified fields.
-    """
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import types as T
-
-    parsers = cfg.parsers
-    out_schema = T.StructType(
-        [T.StructField(f, T.StringType()) for f in FIELDS] + [T.StructField("_m", T.BooleanType())]
-    )
-
-    # one struct-returning pandas UDF per family would still be N passes; use
-    # a single UDF closing over all configs and dispatching on tag_base.
-    import re
-
-    compiled = [(set(p.tag_bases), re.compile(p.pattern), p) for p in parsers]
-
-    @F.pandas_udf(out_schema)
-    def extract(tag_base: "pd.Series", source: "pd.Series") -> "pd.DataFrame":
-        out = pd.DataFrame(index=source.index, columns=FIELDS + ["_m"], dtype=object)
-        out["_m"] = False
-        for bases, rx, p in compiled:
-            mask = tag_base.isin(bases)
-            if not mask.any():
-                continue
-            ext = source[mask].str.extract(rx)
-            ext.columns = list(p.groups)[: ext.shape[1]]
-            hit = ext.notna().any(axis=1)
-            for i, g in enumerate(p.groups):
-                vals = ext[g].str.strip().replace("", None)
-                out.loc[vals.index, g] = vals
-            out.loc[hit.index, "_m"] = hit
-        return out
-
-    st = extract(F.col("tag_base"), F.col("source"))
-    df = df.withColumn("_p", st).filter(F.col("_p._m"))
-    for f in FIELDS:
-        df = df.withColumn(f, F.col(f"_p.{f}"))
-    return df.drop("_p")

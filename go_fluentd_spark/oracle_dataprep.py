@@ -1,0 +1,191 @@
+"""DuckDB mirrors of the training-data operators (operators/dataprep.py).
+Constants imported from the Spark side — one source of truth."""
+
+from __future__ import annotations
+
+from go_fluentd_spark.operators import dataprep as D
+
+H = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"  # stable_hash64
+
+
+def _norm(x: str) -> str:
+    return f"trim(regexp_replace(lower({x}), '\\s+', ' '))"
+
+
+_SHINGLES = f"""
+list_distinct(list_transform(
+  range(1, greatest(len(text) - {D.SHINGLE_K - 1}, 1) + 1),
+  i -> substr(text, i, {D.SHINGLE_K})))
+"""
+
+
+def q_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_md5, count(*) AS n_dup, min(doc_id) AS rep_doc_id
+FROM documents GROUP BY md5(text)"""
+
+
+def q_fingerprints() -> str:
+    return f"""
+SELECT doc_id, {H.format(x=_norm('text'))} AS fingerprint FROM documents"""
+
+
+def q_token_stats() -> str:
+    n = _norm("text")
+    return f"""
+SELECT doc_id,
+  len(string_split({n}, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all({n}, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens,
+  length(text) AS n_chars_actual
+FROM documents"""
+
+
+def _count(t: str, needle: str) -> str:
+    return f"CAST((length({t}) - length(replace({t}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+
+
+def q_quality_scores() -> str:
+    t = f"' ' || {_norm('text')} || ' '"
+    n_words = f"len(string_split({_norm('text')}, ' '))"
+    stop = " + ".join(_count(t, f" {w} ") for w in D.STOPWORDS)
+    n_punct = r"len(regexp_extract_all(text, '[^\w\s]'))"
+    score = (
+        f"least({n_words} / 100.0, 1.0) * 0.4"
+        f" + least(({stop}) * 5.0 / {n_words}, 1.0) * 0.4"
+        f" + (1.0 - least({n_punct} * 10.0 / length(text), 1.0)) * 0.2"
+    )
+    return f"""
+SELECT doc_id, {n_words} AS n_words, ({stop}) AS stopword_hits,
+  {n_punct} AS n_punct, round({score}, 4) AS quality
+FROM documents"""
+
+
+def q_langid() -> str:
+    t = f"' ' || {_norm('text')} || ' '"
+    hits = {
+        lang: " + ".join(_count(t, f" {w} ") for w in ws)
+        for lang, ws in D.LANG_MARKERS.items()
+    }
+    return f"""
+SELECT doc_id, lang AS lang_tagged,
+  ({hits['en']}) AS en_hits, ({hits['de']}) AS de_hits, ({hits['es']}) AS es_hits,
+  CASE
+    WHEN ({hits['en']}) >= ({hits['de']}) AND ({hits['en']}) >= ({hits['es']}) AND ({hits['en']}) > 0 THEN 'en'
+    WHEN ({hits['de']}) >= ({hits['es']}) AND ({hits['de']}) > 0 THEN 'de'
+    WHEN ({hits['es']}) > 0 THEN 'es'
+    ELSE 'unknown' END AS lang_pred
+FROM documents"""
+
+
+def q_minhash_signatures() -> str:
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_P})) AS sig{j}"
+        for j, (a, b) in enumerate(zip(D.HASH_A, D.HASH_B))
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES} AS s FROM documents),
+hs AS (
+  SELECT doc_id, lang, list_transform(s, x -> {H.format(x='x')} % {D.MINHASH_P}) AS hs FROM sh)
+SELECT doc_id, lang, {sig_cols} FROM hs"""
+
+
+def q_minhash_lsh_pairs() -> str:
+    r = D.NUM_HASHES // D.NUM_BANDS
+    band_selects = []
+    for b in range(D.NUM_BANDS):
+        acc = "0"
+        for j in range(b * r, (b + 1) * r):
+            acc = f"(({acc}) * 31 + sig{j}) % {D.MINHASH_P}"
+        band_selects.append(f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig")
+    return f"""
+WITH sig AS ({q_minhash_signatures().strip()}),
+bands AS (
+  {" UNION ALL ".join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+SELECT a_doc, b_doc,
+  round(len(list_filter(sa.s, x -> list_contains(sb.s, x))) * 1.0
+        / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = a_doc JOIN sh sb ON sb.doc_id = b_doc
+WHERE round(len(list_filter(sa.s, x -> list_contains(sb.s, x))) * 1.0
+        / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) >= {D.JACCARD_TAU}"""
+
+
+def q_ngram_jaccard_pairs() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars, {_SHINGLES} AS s FROM documents),
+blocked AS (
+  SELECT doc_id, lang, s, blk
+  FROM d, UNNEST([CAST(n_chars / {D.LEN_BUCKET} AS BIGINT),
+                  CAST(n_chars / {D.LEN_BUCKET} AS BIGINT) + 1]) AS t(blk)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id),
+j AS (
+  SELECT a_doc, b_doc,
+    len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS i,
+    len(sa.s) AS la, len(sb.s) AS lb
+  FROM pairs JOIN d sa ON sa.doc_id = a_doc JOIN d sb ON sb.doc_id = b_doc)
+SELECT a_doc, b_doc, round(i * 1.0 / (la + lb - i), 4) AS jaccard
+FROM j WHERE round(i * 1.0 / (la + lb - i), 4) >= {D.JACCARD_TAU}"""
+
+
+def q_simhash16() -> str:
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hw, h -> (h >> {b}) % 2 = 1)) > len(hw) THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    list_transform(string_split({_norm('text')}, ' '), x -> {H.format(x='x')} % 65536) AS hw
+  FROM documents)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM w"""
+
+
+def _dot(a: str, b: str, n: int = D.EMB_DIM) -> str:
+    return f"list_sum(list_transform(range(1, {n} + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+
+
+def q_embed_cosine_scores() -> str:
+    dot = _dot("e.embedding", "q.qv")
+    na = f"sqrt({_dot('e.embedding', 'e.embedding')})"
+    nq = f"sqrt({_dot('q.qv', 'q.qv')})"
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id, e.label, round({dot} / ({na} * {nq}), 4) AS cos
+FROM embeddings e, q"""
+
+
+def q_embed_lsh_buckets() -> str:
+    terms = []
+    for j in range(D.LSH_PLANES):
+        weights = ", ".join(str(D._plane_weight(i, j)) for i in range(D.EMB_DIM))
+        dot = (
+            f"list_sum(list_transform(range(1, {D.EMB_DIM} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{weights}])[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return f"""
+SELECT vec_id, label, CAST({' + '.join(terms)} AS INT) AS bucket FROM embeddings"""
+
+
+ORACLES = {
+    "dedup_exact": q_dedup_exact,
+    "fingerprints": q_fingerprints,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "langid": q_langid,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash16": q_simhash16,
+    "embed_cosine_scores": q_embed_cosine_scores,
+    "embed_lsh_buckets": q_embed_lsh_buckets,
+}

@@ -182,10 +182,8 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
     )
     if rep > 1:
         docs = docs.select(
-            (F.col("ok") * rep + F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))).alias(
-                "did"
-            )
-        )
+            "ok", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r")
+        ).select((F.col("ok") * rep + F.col("r")).alias("did"))
     else:
         docs = docs.select(F.col("ok").alias("did"))
     return docs.select(
