@@ -19,8 +19,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from go_fluentd_spark import oracle, oracle_dataprep  # noqa: E402
+from go_fluentd_spark import oracle, oracle_dataprep, oracle_recv  # noqa: E402
 from go_fluentd_spark.operators import dataprep as DP  # noqa: E402
+from go_fluentd_spark.operators import recv as RV  # noqa: E402
 from go_fluentd_spark.plans import pipeline as P  # noqa: E402
 from go_fluentd_spark.session import ensure_session_defaults  # noqa: E402
 from go_fluentd_spark.sources.synth import sequences_df  # noqa: E402
@@ -132,6 +133,61 @@ _DATAPREP = {
 }
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_http_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    ts_str = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    sig = F.when(
+        F.col("event_id") % 2 == 0,
+        F.md5(F.concat(ts_str, F.lit(oracle_recv.SALT))),
+    ).otherwise(F.lit("deadbeef"))
+    df = e.select(
+        "event_id", ts_str.alias("ts_str"), sig.alias("sig"), F.col("props").alias("body")
+    )
+    return RV.http_validate(
+        df,
+        salt=oracle_recv.SALT,
+        not_before=oracle_recv.NOT_BEFORE,
+        not_after=oracle_recv.NOT_AFTER,
+    ).select("event_id", "ts_str")
+
+
+def _q_rsyslog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = RV.rsyslog_normalize(
+        _events(spark, sf_dir), time_col="ts", shift_hours=8, msg_key="props"
+    )
+    return df.select(
+        "event_id", F.col("@timestamp").alias("at_ts"), "message", "tag"
+    )
+
+
+def _q_es_retag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir).withColumn(
+        "tag", F.concat("event_type", F.lit(".sit"))
+    )
+    return (
+        RV.es_dispatch_retag(df, oracle_recv.RETAG_MAP)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_kafka_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = RV.kafka_json_decode(
+        _events(spark, sf_dir).withColumn("value", F.col("props")),
+        default_tag="kafkabuf.sit",
+        tag_key=None,
+    )
+    return df.select(
+        "event_id",
+        F.try_element_at(F.col("msg"), F.lit("k")).alias("k_val"),
+        "tag",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "sequences": _wrap(_q_sequences),
@@ -143,6 +199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_rows": _wrap(_q_routed_rows),
     }
     qs.update({name: _wrap(fn) for name, fn in _DATAPREP.items()})
+    qs.update(
+        {
+            "http_validate": _wrap(_q_http_validate),
+            "rsyslog_normalize": _wrap(_q_rsyslog_normalize),
+            "es_retag_counts": _wrap(_q_es_retag_counts),
+            "kafka_json_decode": _wrap(_q_kafka_json_decode),
+        }
+    )
     return qs
 
 
@@ -157,4 +221,5 @@ def oracle_sql() -> dict[str, str]:
         "routed_rows": oracle.q_routed_rows(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})
+    out.update({name: fn() for name, fn in oracle_recv.ORACLES.items()})
     return out

@@ -26,7 +26,7 @@ _SEQ_CTES = f"""
 docs AS (SELECT CAST(o_orderkey AS BIGINT) AS did FROM orders),
 base1 AS (
   SELECT did,
-    CASE WHEN did % 3 = 0 THEN 'sit' WHEN did % 3 = 1 THEN 'uat' ELSE 'prod' END AS env,
+    CASE WHEN (did % 50) % 3 = 0 THEN 'sit' WHEN (did % 50) % 3 = 1 THEN 'uat' ELSE 'prod' END AS env,
     did % 100 AS b,
     lpad(CAST(did % 1000 AS VARCHAR), 3, '0') AS ms3,
     lpad(CAST(did % 1000000 AS VARCHAR), 6, '0') AS ms6,
@@ -57,7 +57,7 @@ base2 AS (
   FROM base1),
 seq AS (
   SELECT
-    base || '.' || env || '-c' || lpad(CAST(did % 50 AS VARCHAR), 4, '0') || '-' || lpad(dids, 8, '0') AS doc_id,
+    base || '.' || env || '-c' || lpad(CAST((did % 50) * 100 + CAST(floor(did / 100) AS BIGINT) % 100 AS VARCHAR), 4, '0') || '-' || lpad(dids, 8, '0') AS doc_id,
     list_transform(range(0, n_tok), i -> CAST((did*2654435761 + i*40503) % {S.VOCAB} AS INT)) AS tokens,
     CAST(n_tok AS INT) AS n_tok,
     source

@@ -61,7 +61,6 @@ RAMJET_PATH = "/go/src/github.com/laisky/go-ramjet/tasks/logrotate/backup/main.g
 CONTINUATION_PREFIX = "at com.example.myproject.Author.getBookIds(Author.java:"
 
 VOCAB = 50257
-ENV_CASE_SQL = "case when did % 3 = 0 then 'sit' when did % 3 = 1 then 'uat' else 'prod' end"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,9 +68,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _env(did: Column) -> Column:
-    return (
-        F.when(did % 3 == 0, "sit").when(did % 3 == 1, "uat").otherwise("prod")
-    )
+    # keyed off (did % 50) so every row of one container shares one env (and
+    # therefore one tag) — multiline sessions never straddle tags, matching
+    # reality: one container logs to one tag
+    e = (did % 50) % 3
+    return F.when(e == 0, "sit").when(e == 1, "uat").otherwise("prod")
 
 
 def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
@@ -167,9 +168,15 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
         .otherwise(1 + (did * 131071) % 64)
         .cast("int")
     )
+    # container id: 5000 distinct values (realistic pod/container cardinality
+    # so the concat window parallelizes), constructed so a continuation row
+    # (bucket 94/95) always shares its container with the head rows of the
+    # same did-group: (did%50) pins the bucket-pair, floor(did/100)%100
+    # spreads groups — both terms are equal for did = 100g+44 vs 100g+94.
+    container = (did % 50) * 100 + F.floor(did / 100).cast("bigint") % 100
     doc_id = F.concat(
         base, F.lit("."), env,
-        F.lit("-c"), F.lpad((did % 50).cast("string"), 4, "0"),
+        F.lit("-c"), F.lpad(container.cast("string"), 4, "0"),
         F.lit("-"), F.lpad(dids, 8, "0"),
     )
     tokens = F.transform(
@@ -186,6 +193,10 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
         ).select((F.col("ok") * rep + F.col("r")).alias("did"))
     else:
         docs = docs.select(F.col("ok").alias("did"))
+    # the testdata parquet is one small file; spread generation across all
+    # cores (at real scale the source table has thousands of splits and this
+    # repartition is unnecessary — it shuffles only the 8-byte key column)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         doc_id.alias("doc_id"),
         tokens.alias("tokens"),

@@ -1,0 +1,232 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §2.10).
+
+The reference is a streaming daemon; the batch plan in ``plans/pipeline.py``
+is the primary restatement, but every stateless operator (ingest columns,
+acceptor chain, parser, enrich) is a plain DataFrame->DataFrame function and
+therefore applies UNCHANGED to a streaming DataFrame.  This module adds the
+two genuinely streaming-only pieces:
+
+- ``concat_sessions_streaming``: the multiline concator as a custom stateful
+  operator (``applyInPandasWithState`` keyed by (tag, container_id)) with the
+  reference's flush rules — next-head arrival, ``max_len`` overflow, and the
+  ``ConcatorWait`` gap timeout (``internal/recvs/fluentd.go:23,505``,
+  ``internal/tagfilters/concator_f.go:64,91-111``) mapped to a processing-time
+  state timeout.  State persists in the checkpoint across restarts — the
+  streaming twin of the WAL.
+- ``run_pipeline_stream``: readStream -> stateless chain -> ``foreachBatch``
+  fan-out writing per-sink directories + per-batch counts (the reference's
+  per-sender batching, ``internal/senders/*``; micro-batch = the batch/linger
+  window).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from go_fluentd_spark.config import CONCAT_CONFIGS, DEFAULT_CONFIG, PipelineConfig
+from go_fluentd_spark.operators.acceptor import acceptor_chain
+from go_fluentd_spark.operators.enrich import msgid
+from go_fluentd_spark.operators.parser import parse
+from go_fluentd_spark.sources.synth import with_ingest_columns
+
+SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("tag", T.StringType()),
+        T.StructField("container_id", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("env", T.StringType()),
+        T.StructField("tag_base", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_merged", T.LongType()),
+        T.StructField("ext_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("env", T.StringType()),
+        T.StructField("tag_base", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ext_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def read_sequence_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of tokenized sequences (at scale: the Kafka or
+    Iceberg-incremental source — same downstream plan)."""
+    return spark.readStream.schema(SEQ_SCHEMA).parquet(src_dir)
+
+
+def concat_sessions_streaming(
+    df: DataFrame,
+    configs: dict[str, dict] | None = None,
+    max_len: int = DEFAULT_CONFIG.concat_max_len,
+    gap_ms: int = 5000,
+) -> DataFrame:
+    """Stateful multiline concat.  Input: ingest-column frame (streaming).
+    Output rows appear when a session FLUSHES (next head / max_len / gap
+    timeout) — at-least-once with checkpointed state, like the reference's
+    in-recv concator backed by the WAL."""
+    import re
+
+    configs = CONCAT_CONFIGS if configs is None else configs
+    compiled = {base: re.compile(c["head_regexp"]) for base, c in configs.items()}
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tag, container = key
+        out_rows: list[dict] = []
+        open_sess: dict | None = None
+        if state.exists:
+            s = state.get
+            open_sess = {
+                "id": int(s[0]), "doc_id": s[1],
+                "tokens": [int(x) for x in s[2]], "n_tok": int(s[3]),
+                "env": s[4], "tag_base": s[5], "source": s[6],
+                "ext_ids": [int(x) for x in s[7]],
+            }
+
+        def flush(sess):
+            out_rows.append(
+                {
+                    "tag": tag, "container_id": container, "id": sess["id"],
+                    "doc_id": sess["doc_id"], "tokens": sess["tokens"],
+                    "n_tok": sess["n_tok"], "env": sess["env"],
+                    "tag_base": sess["tag_base"], "source": sess["source"],
+                    "n_merged": 1 + len(sess["ext_ids"]),
+                    "ext_ids": sess["ext_ids"],
+                }
+            )
+
+        if state.hasTimedOut:
+            # ConcatorWait gap flush (concator_f.go:91-111)
+            if open_sess is not None:
+                flush(open_sess)
+            state.remove()
+            yield pd.DataFrame(out_rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+            return
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id")
+            for r in pdf.itertuples(index=False):
+                rx = compiled.get(r.tag_base)
+                is_head = bool(rx.match(r.source)) if rx else None
+                row = {
+                    "id": int(r.id), "doc_id": r.doc_id,
+                    "tokens": [int(x) for x in r.tokens],
+                    "n_tok": int(r.n_tok), "env": r.env, "tag_base": r.tag_base,
+                    "source": r.source, "ext_ids": [],
+                }
+                if is_head is None:  # unconfigured tag: passthrough
+                    flush(row)
+                elif is_head:
+                    if open_sess is not None:
+                        flush(open_sess)  # next head flushes (concator_f.go:172-180)
+                    open_sess = row
+                elif open_sess is None:
+                    flush(row)  # lone tail passthrough (concator_f.go:151-157)
+                elif len(open_sess["source"]) >= max_len:
+                    flush(open_sess)  # max_len overflow (concator_f.go:197-202)
+                    open_sess = None
+                    flush(row)
+                else:
+                    open_sess["source"] += r.source  # no separator (:188-189)
+                    open_sess["ext_ids"].append(int(r.id))
+
+        if open_sess is not None:
+            state.update(
+                (
+                    open_sess["id"], open_sess["doc_id"], open_sess["tokens"],
+                    open_sess["n_tok"], open_sess["env"], open_sess["tag_base"],
+                    open_sess["source"], open_sess["ext_ids"],
+                )
+            )
+            state.setTimeoutDuration(gap_ms)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out_rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+    return df.groupBy("tag", "container_id").applyInPandasWithState(
+        fold,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_pipeline_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_concat: bool = True,
+):
+    """readStream -> (stateful concat) -> stateless chain -> foreachBatch
+    per-sink writes + counts.  Returns the StreamingQuery (caller triggers
+    availableNow or continuous)."""
+    import os
+
+    df = with_ingest_columns(read_sequence_stream(spark, src_dir))
+    if with_concat:
+        df = concat_sessions_streaming(df)
+    df = acceptor_chain(df, cfg)
+    df = parse(df, cfg)
+    df = msgid(df, cfg)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for sink in cfg.sinks:
+                conds = None
+                for t in sink.tags:
+                    c = (
+                        (F.col("tag") == t)
+                        if any(t.endswith("." + e) for e in cfg.envs)
+                        else (F.col("tag_base") == t)
+                    )
+                    conds = c if conds is None else (conds | c)
+                part = batch_df.filter(conds)
+                part.drop("tokens", "args_map").write.mode("append").parquet(
+                    os.path.join(out_dir, f"sink={sink.name}")
+                )
+            (
+                batch_df.groupBy("tag")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, "_counts"))
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
