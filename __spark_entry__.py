@@ -188,6 +188,16 @@ def _q_kafka_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kafka_sink_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KafkaSender value serialization (internal/senders/kafka.go:64-188):
+    each routed row JSON-marshalled as the kafka message value."""
+    df = P.routed(spark, sf_dir).filter(F.col("sink") == "kafka_cp")
+    return df.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "tag", "msgid", "n_tok")).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "sequences": _wrap(_q_sequences),
@@ -205,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rsyslog_normalize": _wrap(_q_rsyslog_normalize),
             "es_retag_counts": _wrap(_q_es_retag_counts),
             "kafka_json_decode": _wrap(_q_kafka_json_decode),
+            "kafka_sink_values": _wrap(_q_kafka_sink_values),
         }
     )
     return qs
@@ -219,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "parsed_fields": oracle.q_parsed_fields(),
         "sink_counts": oracle.q_sink_counts(),
         "routed_rows": oracle.q_routed_rows(),
+        "kafka_sink_values": oracle.q_kafka_sink_values(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})
     out.update({name: fn() for name, fn in oracle_recv.ORACLES.items()})

@@ -54,7 +54,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rep = int(os.environ.get("SPARK_GRAFT_SEQ_REP", "4"))
-    spark = build_spark("bench", cores=cores)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-tmp"  # shuffle off the data disk
+    spark = build_spark("bench", cores=cores, extra_conf=extra)
 
     def seq():
         return with_ingest_columns(sequences_df(spark, sf_dir, rep=rep))

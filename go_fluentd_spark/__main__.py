@@ -1,0 +1,76 @@
+"""CLI entry point — the ``spark-submit --py-files`` surface.
+
+Package + submit:
+
+    zip -r go_fluentd_spark.zip go_fluentd_spark
+    spark-submit --py-files go_fluentd_spark.zip \
+        go_fluentd_spark/__main__.py run \
+        --sf-dir /data/sequences --out /data/out --buckets 256
+
+Local (no cluster): ``python -m go_fluentd_spark run --out /tmp/out``.
+
+Subcommands:
+  run      manifested pipeline run (resumable; rerun after a crash and only
+           uncommitted buckets are reprocessed)
+  counts   print the per-sink/per-tag aggregate counts (the /monitor analogue)
+  stream   run the Structured Streaming variant over a directory source
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="go_fluentd_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="manifested (resumable) pipeline run")
+    runp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    runp.add_argument("--out", required=True)
+    runp.add_argument("--buckets", type=int, default=32)
+    runp.add_argument("--cores", type=int, default=None)
+
+    cntp = sub.add_parser("counts", help="per-sink/per-tag counts")
+    cntp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    cntp.add_argument("--cores", type=int, default=None)
+
+    stp = sub.add_parser("stream", help="streaming variant over a dir source")
+    stp.add_argument("--src", required=True)
+    stp.add_argument("--out", required=True)
+    stp.add_argument("--checkpoint", required=True)
+    stp.add_argument("--cores", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    from go_fluentd_spark.session import build_spark
+
+    spark = build_spark("go_fluentd_spark", cores=args.cores)
+    try:
+        if args.cmd == "run":
+            from go_fluentd_spark.plans.manifest import ManifestedRun
+
+            m = ManifestedRun(spark, args.out, n_buckets=args.buckets)
+            stats = m.run(args.sf_dir)
+            print(json.dumps(stats))
+            print(m.stats())
+        elif args.cmd == "counts":
+            from go_fluentd_spark.plans.pipeline import sink_counts
+
+            for r in sink_counts(spark, args.sf_dir).orderBy("sink", "tag").collect():
+                print(f"{r.sink}\t{r.tag}\t{r.n}")
+        elif args.cmd == "stream":
+            from go_fluentd_spark.streaming.stream_pipeline import run_pipeline_stream
+
+            q = run_pipeline_stream(spark, args.src, args.out, args.checkpoint)
+            q.awaitTermination()
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

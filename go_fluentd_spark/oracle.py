@@ -316,6 +316,23 @@ def q_sink_counts(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
     )
 
 
+def q_kafka_sink_values(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
+    """Kafka message value: JSON built by string concat to byte-match
+    Spark's to_json(struct(...)) output (no spaces, field order, nulls
+    impossible for the chosen columns)."""
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        _ACCEPTOR_CTES,
+        _parsed_ctes(),
+        _enriched_ctes(cfg),
+        final="""SELECT doc_id,
+       '{"doc_id":"' || doc_id || '","tag":"' || tag || '","msgid":"' || msgid
+       || '","n_tok":' || CAST(n_tok AS VARCHAR) || '}' AS value
+FROM routed WHERE sink = 'kafka_cp'""",
+    )
+
+
 def q_routed_rows(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
     return _with(
         _SEQ_CTES,

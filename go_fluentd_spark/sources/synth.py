@@ -187,16 +187,17 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
     docs = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("bigint").alias("ok")
     )
+    # the testdata parquet is one small file; spread the 8-byte keys across
+    # all cores BEFORE replication/generation so the expensive row synthesis
+    # is fully parallel (at real scale the source table has thousands of
+    # splits and this repartition is unnecessary)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     if rep > 1:
         docs = docs.select(
             "ok", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r")
         ).select((F.col("ok") * rep + F.col("r")).alias("did"))
     else:
         docs = docs.select(F.col("ok").alias("did"))
-    # the testdata parquet is one small file; spread generation across all
-    # cores (at real scale the source table has thousands of splits and this
-    # repartition is unnecessary — it shuffles only the 8-byte key column)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         doc_id.alias("doc_id"),
         tokens.alias("tokens"),

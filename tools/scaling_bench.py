@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; rep = int(sys.argv[3])
 os.environ["SPARK_GRAFT_SEQ_REP"] = str(rep)
-spark = build_spark("scaling", cores=cores, shuffle_partitions=cores * 2)
+spark = build_spark("scaling", cores=cores, shuffle_partitions=cores * 2,
+                    extra_conf={"spark.local.dir": "/dev/shm/spark-tmp"})
 
 from go_fluentd_spark.sources.synth import sequences_df, with_ingest_columns
 from go_fluentd_spark.operators.concat import concat_sessions
@@ -64,8 +65,15 @@ spark.stop()
 
 
 def run_level(cores: int, sf_dir: str, rep: int) -> dict:
+    # Pin the whole process tree to exactly `cores` CPUs: in local[N] the JVM's
+    # GC/JIT/shuffle threads are NOT bounded by N, so an unpinned low-N leg
+    # borrows idle cores and understates scaling.  taskset makes "N cores"
+    # mean N cores — the cluster analogue where an executor's cgroup caps it.
+    cmd = [sys.executable, "-c", RUNNER % {"repo": REPO}, str(cores), sf_dir, str(rep)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER % {"repo": REPO}, str(cores), sf_dir, str(rep)],
+        cmd,
         capture_output=True,
         text=True,
         timeout=1800,
@@ -96,7 +104,7 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    section = f"""## Scaling (measured, this repo)
+    section = f"""## Scaling local[{n_low}] vs local[{n_high}]
 
 Identical end-to-end job (parse→enrich→route, full materialization) on
 identical input ({low['rows']:,} sequences from {sf_dir}, rep={rep}),
@@ -111,7 +119,7 @@ Best of 2 timed runs after warm-up, fresh JVM per level.
 **Scaling efficiency ({n_low}→{n_high} cores): {eff:.3f}** (target ≥ 0.8).
 """
     path = os.path.join(REPO, "BENCH.md")
-    marker = "## Scaling (measured, this repo)"
+    marker = f"## Scaling local[{n_low}] vs local[{n_high}]"
     existing = open(path).read() if os.path.exists(path) else "# BENCH — measured performance\n\n"
     if marker in existing:
         existing = existing.split(marker)[0]
