@@ -127,9 +127,9 @@ _DATAPREP = {
     "simhash16": DP.simhash16,
     "embed_cosine_scores": DP.embed_cosine_scores,
     "embed_lsh_buckets": DP.embed_lsh_buckets,
-    # rows-only checks (ordering/limit semantics aren't hash-stable in SQL):
-    "embed_topk": DP.embed_topk,
     "embed_near_pairs": DP.embed_near_pairs,
+    # rows-only check (top-k limit ordering isn't hash-stable in SQL):
+    "embed_topk": DP.embed_topk,
 }
 
 

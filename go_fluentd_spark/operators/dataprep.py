@@ -390,7 +390,7 @@ def embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", acc.alias("bucket"))
 
 
-def embed_near_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.95) -> DataFrame:
+def embed_near_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed candidates + exact cosine."""
     b = embed_lsh_buckets(spark, sf_dir)
     e = embs(spark, sf_dir).join(b.select("vec_id", "bucket"), "vec_id")

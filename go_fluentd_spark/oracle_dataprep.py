@@ -176,7 +176,22 @@ def q_embed_lsh_buckets() -> str:
 SELECT vec_id, label, CAST({' + '.join(terms)} AS INT) AS bucket FROM embeddings"""
 
 
+def q_embed_near_pairs(tau: float = 0.3) -> str:
+    bucket = q_embed_lsh_buckets().strip()
+    dot = _dot("a.embedding", "b.embedding")
+    na = f"sqrt({_dot('a.embedding', 'a.embedding')})"
+    nb = f"sqrt({_dot('b.embedding', 'b.embedding')})"
+    cos = f"round({dot} / ({na} * {nb}), 4)"
+    return f"""
+WITH bk AS (SELECT vec_id, bucket FROM ({bucket}) t),
+e AS (SELECT e0.vec_id, e0.embedding, bk.bucket FROM embeddings e0 JOIN bk USING (vec_id))
+SELECT a.vec_id AS a_vec, b.vec_id AS b_vec, {cos} AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {tau}"""
+
+
 ORACLES = {
+    "embed_near_pairs": q_embed_near_pairs,
     "dedup_exact": q_dedup_exact,
     "fingerprints": q_fingerprints,
     "token_stats": q_token_stats,

@@ -1,0 +1,41 @@
+"""Producer fan-out physical writes (K1/K2): per-sink tables, tag
+partitioning, salted repartition, duplication/no-sink semantics."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from go_fluentd_spark.config import DEFAULT_CONFIG
+from go_fluentd_spark.operators.dispatcher import route, write_sinks
+from go_fluentd_spark.plans import pipeline as P
+
+
+def test_write_sinks_salted_matches_logical_route(spark, sf_dir, tmp_path):
+    enriched = P.enriched(spark, sf_dir)
+    logical = route(spark, enriched, DEFAULT_CONFIG)
+    expected = {
+        s: sorted(
+            r.doc_id for r in logical.filter(F.col("sink") == s).select("doc_id").collect()
+        )
+        for s in ("es_general", "kafka_cp", "fluentd_backup")
+    }
+
+    paths = write_sinks(spark, enriched, DEFAULT_CONFIG, str(tmp_path), salt_buckets=4)
+    assert set(paths) == set(expected)
+    for sink, path in paths.items():
+        got = sorted(r.doc_id for r in spark.read.parquet(path).select("doc_id").collect())
+        assert got == expected[sink], sink
+        # physical layout: partitioned by tag (the ES-index/topic routing key)
+        assert any(d.startswith("tag=") for d in os.listdir(path))
+
+    # duplication across sinks: every cp row lands in BOTH es_general and
+    # kafka_cp (producer.go:309-325 fan-out semantics)
+    cp_in_kafka = set(
+        r.doc_id
+        for r in spark.read.parquet(paths["kafka_cp"]).select("doc_id").collect()
+    )
+    es = set(
+        r.doc_id
+        for r in spark.read.parquet(paths["es_general"]).select("doc_id").collect()
+    )
+    assert cp_in_kafka and cp_in_kafka <= es
