@@ -198,6 +198,13 @@ def _q_kafka_sink_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_discards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_fluentd_spark.config import DEFAULT_CONFIG
+    from go_fluentd_spark.operators.audit import discard_reasons
+
+    return discard_reasons(P.concatted(spark, sf_dir), DEFAULT_CONFIG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "sequences": _wrap(_q_sequences),
@@ -207,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_fields": _wrap(_q_parsed_fields),
         "sink_counts": _wrap(_q_sink_counts),
         "routed_rows": _wrap(_q_routed_rows),
+        "discards": _wrap(_q_discards),
     }
     qs.update({name: _wrap(fn) for name, fn in _DATAPREP.items()})
     qs.update(
@@ -231,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "sink_counts": oracle.q_sink_counts(),
         "routed_rows": oracle.q_routed_rows(),
         "kafka_sink_values": oracle.q_kafka_sink_values(),
+        "discards": oracle.q_discards(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})
     out.update({name: fn() for name, fn in oracle_recv.ORACLES.items()})

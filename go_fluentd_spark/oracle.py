@@ -316,6 +316,54 @@ def q_sink_counts(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
     )
 
 
+def q_discards(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
+    """Mirror of operators/audit.py::discard_reasons."""
+    matched = _parser_case(lambda p: f"regexp_matches(source, '{p.pattern}')")
+
+    def must(p: C.ParserConfig) -> str:
+        if not p.must_include:
+            return "TRUE"
+        return f"{_field_sql(p, p.must_include)} IS NOT NULL"
+
+    def ts_ok(p: C.ParserConfig) -> str:
+        if p.time_group is None:
+            return "TRUE"
+        t = _field_sql(p, "time")
+        return (
+            f"try_strptime(replace({t}, ',', '.') || ' +0800', "
+            f"'%Y-%m-%d %H:%M:%S.%g %z') IS NOT NULL"
+        )
+
+    must_c = _parser_case(must)
+    ts_c = _parser_case(ts_ok)
+    discards = f"""
+retag_all AS (
+  SELECT doc_id,
+    (tag_base = 'spark' AND regexp_matches(source, '{C.SPARK_IGNORE_REGEX}')) AS spark_ignored,
+    {_retag_case()} AS tag, source
+  FROM concatted),
+flags AS (
+  SELECT doc_id, tag, spark_ignored, source,
+    regexp_replace(tag, '\\.[a-z]+$', '') AS tag_base
+  FROM retag_all),
+reasons AS (
+  SELECT doc_id, tag, CASE
+    WHEN spark_ignored THEN 'spark_ignore'
+    WHEN tag = '' OR tag NOT IN ({_ACCEPT_LIST}) THEN 'unknown_tag'
+    WHEN NOT coalesce({matched}, FALSE) THEN 'parse_no_match'
+    WHEN NOT coalesce({must_c}, TRUE) THEN 'missing_must_include'
+    WHEN NOT coalesce({ts_c}, TRUE) THEN 'bad_time'
+    END AS reason
+  FROM flags)
+"""
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        discards,
+        final="SELECT doc_id, tag, reason FROM reasons WHERE reason IS NOT NULL",
+    )
+
+
 def q_kafka_sink_values(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
     """Kafka message value: JSON built by string concat to byte-match
     Spark's to_json(struct(...)) output (no spaces, field order, nulls
