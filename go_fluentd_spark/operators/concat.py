@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from go_fluentd_spark.config import CONCAT_CONFIGS, PipelineConfig
+from go_fluentd_spark.config import CONCAT_CONFIGS
 
 
 def _head_expr(configs: dict[str, dict]):

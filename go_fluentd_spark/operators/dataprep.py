@@ -25,7 +25,7 @@ both engines share md5.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from go_fluentd_spark.functions.hashing import stable_hash64
 
