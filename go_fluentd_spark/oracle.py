@@ -39,6 +39,7 @@ base2 AS (
          WHEN b < 91 THEN 'spark' WHEN b < 94 THEN 'ramjet' WHEN b < 96 THEN 'spring'
          WHEN b < 98 THEN 'junkapp' ELSE 'spring' END AS base,
     CASE
+      WHEN b = 57 THEN '2018-02-30 16:56:22.' || ms3 || ' | mscparea | INFO  | http-nio-8080-exec-' || nexec || ' | {S.SPRING_CLASS} | 84: bad time ' || dids
       WHEN b < 60 THEN '2018-03-06 16:56:22.' || ms3 || ' | mscparea | INFO  | http-nio-8080-exec-' || nexec || ' | {S.SPRING_CLASS} | 84: test message ' || dids
       WHEN b < 67 THEN '2018-03-06 16:56:22.' || ms3 || ' | ms_bot7 | WARN  | http-nio-8080-exec-' || nexec || ' | com.laisky.svc.BotHandler | 112: bot event ' || dids
       WHEN b < 73 THEN '2018-02-01 16:15:43.' || ms3 || ' | mscpsvc | INFO  | http-nio-8080-exec-' || nexec || ' | com.laisky.cp.CpService | 84: handled - ms:cp event ' || dids

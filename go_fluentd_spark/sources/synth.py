@@ -24,6 +24,7 @@ Family layout by ``bucket = did % 100``:
 | bucket | family        | initial tag base | fate |
 |--------|---------------|------------------|------|
 | 0-59   | spring head   | spring           | retag app.spring.{env} -> es_general |
+| 57     | spring, impossible date | spring | dropped by parser time gate (bad_time) |
 | 60-66  | bot marker    | spring           | retag bot.{env} -> es_general |
 | 67-72  | cp marker     | spring           | retag cp.{env} -> es_general + kafka_cp |
 | 73-79  | connector     | connector        | es_general (half with JSON args) |
@@ -95,6 +96,13 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
         F.lit(" | mscparea | INFO  | http-nio-8080-exec-"), nexec,
         F.lit(" | " + SPRING_CLASS + " | 84: test message "), dids,
     )
+    # bucket 57: regex-valid shape but impossible date -> the parser's
+    # unparseable-time discard path (parser_f.go:121-168)
+    spring_badtime_line = F.concat(
+        F.lit("2018-02-30 16:56:22."), ms3,
+        F.lit(" | mscparea | INFO  | http-nio-8080-exec-"), nexec,
+        F.lit(" | " + SPRING_CLASS + " | 84: bad time "), dids,
+    )
     bot_line = F.concat(
         F.lit("2018-03-06 16:56:22."), ms3,
         F.lit(" | ms_bot7 | WARN  | http-nio-8080-exec-"), nexec,
@@ -152,7 +160,8 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
         .otherwise("spring")
     )
     source = (
-        F.when(b < 60, spring_line)
+        F.when(b == 57, spring_badtime_line)
+        .when(b < 60, spring_line)
         .when(b < 67, bot_line)
         .when(b < 73, cp_line)
         .when(b < 80, F.when(did % 2 == 0, connector_args_line).otherwise(connector_plain_line))

@@ -23,5 +23,6 @@ def test_conservation(spark, sf_dir):
         assert by_reason.get("spark_ignore", 0) > 0
         assert by_reason.get("unknown_tag", 0) > 0
         assert by_reason.get("parse_no_match", 0) > 0
+        assert by_reason.get("bad_time", 0) > 0
     finally:
         con.unpersist()
