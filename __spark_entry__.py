@@ -205,6 +205,24 @@ def _q_discards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discard_reasons(P.concatted(spark, sf_dir), DEFAULT_CONFIG)
 
 
+def _q_template_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%{...} engine (library/add.go:60-147) and ${...} engine
+    (library/utils.go:87-117) compiled to Columns, over the events frame."""
+    from go_fluentd_spark.functions.textops import replace_str_by_msg, template_with_map
+
+    df = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("tag"),
+        F.col("user_id").alias("id"),
+        F.col("value"),
+    )
+    pct = replace_str_by_msg("%{@tag}-%{@id}|%{@upper:tag}|%{missing}", df.columns)
+    dollar = template_with_map("u=${id} t=${tag} none=${nope}!", df.columns)
+    return df.select(
+        "event_id", pct.alias("pct_tpl"), dollar.alias("dollar_tpl")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "sequences": _wrap(_q_sequences),
@@ -224,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "es_retag_counts": _wrap(_q_es_retag_counts),
             "kafka_json_decode": _wrap(_q_kafka_json_decode),
             "kafka_sink_values": _wrap(_q_kafka_sink_values),
+            "template_engines": _wrap(_q_template_engines),
         }
     )
     return qs

@@ -55,7 +55,17 @@ SELECT event_id, json_extract_string(props, '$.k') AS k_val,
 FROM events"""
 
 
+def q_template_engines() -> str:
+    return """
+SELECT event_id,
+  event_type || '-' || CAST(user_id AS VARCHAR) || '|' || upper(event_type)
+    || '|%{missing}' AS pct_tpl,
+  'u=' || CAST(user_id AS VARCHAR) || ' t=' || event_type || ' none=!' AS dollar_tpl
+FROM events"""
+
+
 ORACLES = {
+    "template_engines": q_template_engines,
     "http_validate": q_http_validate,
     "rsyslog_normalize": q_rsyslog_normalize,
     "es_retag_counts": q_es_retag_counts,
