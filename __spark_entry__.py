@@ -223,6 +223,22 @@ def _q_template_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journal committed-id dedup (journal.go:41,58; settings.yml:602): an
+    at-least-once replay re-delivers rows; the dedup window collapses them.
+    Simulated by unioning the source with a partial replay of itself."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    base = sequences_df(spark, sf_dir)
+    seq_no = F.split_part(F.col("doc_id"), F.lit("-"), F.lit(3)).cast("bigint")
+    replay = base.filter(seq_no % 3 == 0)
+    merged = base.unionByName(replay)
+    deduped = merged.dropDuplicates(["doc_id"])
+    return deduped.groupBy().agg(
+        F.count(F.lit(1)).alias("n_unique"),
+    ).crossJoin(merged.groupBy().agg(F.count(F.lit(1)).alias("n_delivered")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "sequences": _wrap(_q_sequences),
@@ -243,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kafka_json_decode": _wrap(_q_kafka_json_decode),
             "kafka_sink_values": _wrap(_q_kafka_sink_values),
             "template_engines": _wrap(_q_template_engines),
+            "replay_dedup": _wrap(_q_replay_dedup),
         }
     )
     return qs
@@ -259,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "routed_rows": oracle.q_routed_rows(),
         "kafka_sink_values": oracle.q_kafka_sink_values(),
         "discards": oracle.q_discards(),
+        "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})
     out.update({name: fn() for name, fn in oracle_recv.ORACLES.items()})

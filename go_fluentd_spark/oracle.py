@@ -382,6 +382,19 @@ FROM routed WHERE sink = 'kafka_cp'""",
     )
 
 
+def q_replay_dedup() -> str:
+    """Mirror of the journal-replay dedup query (union + distinct doc_id)."""
+    return _with(
+        _SEQ_CTES,
+        final="""SELECT count(DISTINCT doc_id) AS n_unique, count(*) AS n_delivered
+FROM (
+  SELECT doc_id FROM seq
+  UNION ALL
+  SELECT doc_id FROM seq
+  WHERE CAST(split_part(doc_id, '-', 3) AS BIGINT) % 3 = 0)""",
+    )
+
+
 def q_routed_rows(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
     return _with(
         _SEQ_CTES,

@@ -41,6 +41,10 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # GC: measured both ways on the e2e pipeline (BENCH.md) — ParallelGC
+        # is ~22% faster at full-box 32 threads but ~30% SLOWER on a pinned
+        # 8-core budget; G1 (the JVM default) wins at executor-realistic core
+        # counts, so no override here.  Pass it via extra_conf to experiment.
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -55,7 +55,7 @@ def job():
 n_rows = with_ingest_columns(sequences_df(spark, sf_dir, rep=rep)).count()
 job()  # warm-up (JVM JIT, file listing, broadcast)
 best = None
-for _ in range(2):
+for _ in range(3):
     t0 = time.perf_counter(); job(); dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({"cores": cores, "rows": n_rows, "sec": round(best, 3),
