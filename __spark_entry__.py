@@ -128,8 +128,10 @@ _DATAPREP = {
     "embed_cosine_scores": DP.embed_cosine_scores,
     "embed_lsh_buckets": DP.embed_lsh_buckets,
     "embed_near_pairs": DP.embed_near_pairs,
-    # rows-only check (top-k limit ordering isn't hash-stable in SQL):
+    "embed_ivf_assign": DP.embed_ivf_assign,
+    # rows-only checks (top-k limit ordering isn't hash-stable in SQL):
     "embed_topk": DP.embed_topk,
+    "embed_ivf_topk": DP.embed_ivf_topk,
 }
 
 

@@ -390,6 +390,78 @@ def embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", acc.alias("bucket"))
 
 
+IVF_K = 8  # coarse centroids
+IVF_PROBE = 2  # clusters searched per query
+
+
+def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest of K fixed
+    centroids (deterministically the first K vectors by vec_id — a seeded
+    stand-in for a k-means fit, which at scale runs once offline).  The
+    assignment is the IVF index's inverted-list key; search probes only the
+    nearest IVF_PROBE lists.  Scale shape: centroids broadcast, one narrow
+    pass over the big side, shuffle only on (cluster) for list layout."""
+    e = embs(spark, sf_dir)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.orderBy("vec_id").limit(IVF_K).collect()
+    ]
+    best = None
+    best_d = None
+    for cid, (_, cv) in enumerate(cents):
+        d = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in cv]),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        if best is None:
+            best, best_d = F.lit(cid), d
+        else:
+            best = F.when(d < best_d, F.lit(cid)).otherwise(best)
+            best_d = F.least(d, best_d)
+    return e.select("vec_id", "label", best.alias("cluster"))
+
+
+def embed_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """IVF-probed ANN top-k for the standard query vector: rank clusters by
+    centroid distance, search only the best IVF_PROBE lists (brute cosine
+    within), return top-k.  The approximate counterpart of embed_topk."""
+    assign = embed_ivf_assign(spark, sf_dir)
+    e = embs(spark, sf_dir).join(assign.select("vec_id", "cluster"), "vec_id")
+    q = embs(spark, sf_dir).orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in q.embedding]
+    # rank clusters by the query's distance to each centroid (driver-side,
+    # K tiny) — centroids are the first K vectors
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embs(spark, sf_dir).orderBy("vec_id").limit(IVF_K).collect()
+    ]
+    dists = [
+        (cid, sum((a - b) ** 2 for a, b in zip(qv, cv))) for cid, cv in enumerate(cents)
+    ]
+    probe = [cid for cid, _ in sorted(dists, key=lambda t: t[1])[:IVF_PROBE]]
+    qcol = F.array(*[F.lit(v) for v in qv])
+    return (
+        e.filter(F.col("cluster").isin(probe))
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            F.round(
+                _dotd(F.col("embedding"), qcol)
+                / (_norm(F.col("embedding")) * _norm(qcol)),
+                4,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embed_near_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucketed candidates + exact cosine."""
     b = embed_lsh_buckets(spark, sf_dir)

@@ -190,7 +190,22 @@ FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {tau}"""
 
 
+def q_embed_ivf_assign() -> str:
+    sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    return f"""
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {D.IVF_K}) t),
+d AS (
+  SELECT e.vec_id, e.label, c.cid,
+    list_sum(list_transform(range(1, {D.EMB_DIM} + 1), i -> {sq} * {sq})) AS dist
+  FROM embeddings e, c),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+SELECT vec_id, label, cid AS cluster FROM r WHERE rn = 1"""
+
+
 ORACLES = {
+    "embed_ivf_assign": q_embed_ivf_assign,
     "embed_near_pairs": q_embed_near_pairs,
     "dedup_exact": q_dedup_exact,
     "fingerprints": q_fingerprints,
