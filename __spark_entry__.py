@@ -129,7 +129,8 @@ _DATAPREP = {
     "embed_lsh_buckets": DP.embed_lsh_buckets,
     "embed_near_pairs": DP.embed_near_pairs,
     "embed_ivf_assign": DP.embed_ivf_assign,
-    # rows-only checks (top-k limit ordering isn't hash-stable in SQL):
+    # top-k is oracle-checkable: (cos DESC, vec_id) is a TOTAL order, so
+    # ORDER BY ... LIMIT k is deterministic in both engines
     "embed_topk": DP.embed_topk,
     "embed_ivf_topk": DP.embed_ivf_topk,
 }

@@ -190,6 +190,49 @@ FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {tau}"""
 
 
+def q_embed_topk(k: int = 10) -> str:
+    """Top-k by cosine.  The ordering ``cos DESC, vec_id`` is TOTAL (vec_id
+    unique), so ``ORDER BY ... LIMIT k`` is deterministic in both engines —
+    the same tie-break the Spark side uses (operators/dataprep.py:embed_topk)."""
+    dot = _dot("e.embedding", "q.qv")
+    na = f"sqrt({_dot('e.embedding', 'e.embedding')})"
+    nq = f"sqrt({_dot('q.qv', 'q.qv')})"
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id, e.label, round({dot} / ({na} * {nq}), 4) AS cos
+FROM embeddings e, q
+ORDER BY cos DESC, e.vec_id LIMIT {k}"""
+
+
+def q_embed_ivf_topk(k: int = 10) -> str:
+    """IVF-probed top-k: rank centroids by query distance (tie-break cid —
+    matches the Spark side's stable sort), probe the best IVF_PROBE inverted
+    lists, exact cosine within, total-order LIMIT k."""
+    assign = q_embed_ivf_assign().strip()
+    qd_sq = "(CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    dot = _dot("e.embedding", "q.qv")
+    na = f"sqrt({_dot('e.embedding', 'e.embedding')})"
+    nq = f"sqrt({_dot('q.qv', 'q.qv')})"
+    return f"""
+WITH assign AS ({assign}),
+c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {D.IVF_K}) t),
+q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+probe AS (
+  SELECT c.cid FROM c, q
+  ORDER BY list_sum(list_transform(range(1, {D.EMB_DIM} + 1), i -> {qd_sq} * {qd_sq})), c.cid
+  LIMIT {D.IVF_PROBE})
+SELECT e.vec_id, e.label, a.cluster, round({dot} / ({na} * {nq}), 4) AS cos
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probe p ON p.cid = a.cluster
+CROSS JOIN q
+ORDER BY cos DESC, e.vec_id LIMIT {k}"""
+
+
 def q_embed_ivf_assign() -> str:
     sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
     return f"""
@@ -218,4 +261,6 @@ ORACLES = {
     "simhash16": q_simhash16,
     "embed_cosine_scores": q_embed_cosine_scores,
     "embed_lsh_buckets": q_embed_lsh_buckets,
+    "embed_topk": q_embed_topk,
+    "embed_ivf_topk": q_embed_ivf_topk,
 }
