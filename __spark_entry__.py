@@ -75,6 +75,7 @@ def _q_parsed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line",
         "args",
         "args__k",
+        "args__nested__a",
         "message",
         "ts",
         F.array_join("tokens", ",").alias("tokens_csv"),

@@ -112,9 +112,20 @@ GEELY_PATTERN = (
 GEELY_GROUPS = ["time", "project", "level", "thread", "class", "line", "message"]
 
 # ramjet pattern (settings.yml head + docstring example) — groups:
-# 1 time, 2 level, 3 class/path, 4 line, 5 message
-RAMJET_PATTERN = r"^\[(.{27})Z *- *(\w+) *- *([^:\]]+):(\d+)\] *(.*)$"
+# 1 time, 2 level, 3 class/path, 4 line, 5 message.  The timestamp is an
+# explicit micros ISO group (26 chars, e.g. '2018-08-03T05:42:42.714151' —
+# settings.yml:181): a width-based `.{27}` silently off-by-one'd past the
+# 'Z' and discarded every ramjet row as parse_no_match (round-1 ADVICE).
+RAMJET_PATTERN = (
+    r"^\[(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6})Z *- *(\w+) *- *([^:\]]+):(\d+)\] *(.*)$"
+)
 RAMJET_GROUPS = ["time", "level", "class", "line", "message"]
+
+
+# flattened args_map keys promoted to first-class `args__<key>` columns
+# (declared-schema projection of the reference's dynamic Message map; nested
+# paths use the FlattenMap "__" join, library/utils.go:75-85)
+PROMOTE_JSON_KEYS = ("k", "nested__a")
 
 
 @dataclass(frozen=True)

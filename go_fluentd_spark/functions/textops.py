@@ -123,6 +123,43 @@ def flatten_struct(df: DataFrame, delimiter: str = "__") -> DataFrame:
     return df.select(cols)
 
 
+def flatten_json_map(c: Column, delimiter: str = "__", max_depth: int = 3) -> Column:
+    """FlattenMap over a DYNAMIC JSON payload (``library/utils.go:75-85``,
+    called from ``parser_f.go:109`` and ``http.go:206``): parse a JSON-object
+    string to ``map<string,string>`` and recursively flatten nested objects to
+    ``parent__child`` keys, up to ``max_depth`` levels (the loop unrolls at
+    plan-build time — pure Column expressions, no per-row Python).
+
+    Matches the reference's semantics: after flattening, the parent key is
+    deleted and only the joined leaf keys remain (``utils_test.go:11-54``,
+    the ``{"b": {"c": 2, "d": {"e": 3}}}`` => ``b.c, b.d.e`` golden).  Scalars
+    stringify (2 -> "2"); nested objects deeper than ``max_depth`` stay as
+    JSON text under their flattened prefix; malformed JSON => NULL map.
+    """
+
+    def expand(e: Column) -> Column:
+        child = F.from_json(e["value"], "map<string,string>")
+        prefixed = F.transform(
+            F.map_entries(child),
+            lambda ce: F.struct(
+                F.concat(e["key"], F.lit(delimiter), ce["key"]).alias("key"),
+                ce["value"].alias("value"),
+            ),
+        )
+        is_obj = F.startswith(F.ltrim(e["value"]), F.lit("{")) & child.isNotNull()
+        return F.when(is_obj, prefixed).otherwise(
+            F.array(F.struct(e["key"].alias("key"), e["value"].alias("value")))
+        )
+
+    m = F.from_json(c, "map<string,string>")
+    for _ in range(max(max_depth - 1, 0)):
+        m = F.when(
+            m.isNotNull(),
+            F.map_from_entries(F.flatten(F.transform(F.map_entries(m), expand))),
+        )
+    return m
+
+
 def env_substitute(s: str, env: str) -> str:
     """``{env}`` substitution at plan-build time (``library/utils.go`` env
     replace; table-driven golden ``utils_test.go:112-135``)."""

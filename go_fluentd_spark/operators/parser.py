@@ -127,25 +127,32 @@ def parse(df: DataFrame, cfg: PipelineConfig, impl: str | None = None) -> DataFr
     )
     df = df.filter(must_ok)
 
-    # JSON explode of the args group (parser_f.go:74-107): known key promoted
-    # to a flattened `args__`-prefixed column (FlattenMap "__" convention,
-    # library/utils.go:75-85); raw kept only when JSON parse fails; the full
-    # dynamic map lands in `args_map` (our declared-schema overflow column).
+    # JSON explode of the args group (parser_f.go:74-107): the payload is
+    # recursively FlattenMap'd (library/utils.go:75-85) so nested objects
+    # land as `a__b` keys in `args_map` (our declared-schema overflow
+    # column); known keys are promoted to real `args__`-prefixed columns;
+    # raw kept only when JSON parse fails.
+    from go_fluentd_spark.functions.textops import flatten_json_map
+
     json_parsers = [p for p in parsers if p.parse_json_key]
     if json_parsers:
         is_json_family = F.col("tag_base").isin(
             [b for p in json_parsers for b in p.tag_bases]
         )
-        parsed_map = F.from_json(F.col("args"), "map<string,string>")
-        df = (
-            df.withColumn("args_map", F.when(is_json_family, parsed_map))
-            .withColumn("args__k", F.try_element_at(F.col("args_map"), F.lit("k")))
-            .withColumn(
-                "args",
-                F.when(F.col("args_map").isNotNull(), F.lit(None)).otherwise(
-                    F.col("args")
-                ),
-            )
+        parsed_map = flatten_json_map(F.col("args"))
+        df = df.withColumn("args_map", F.when(is_json_family, parsed_map))
+        from go_fluentd_spark.config import PROMOTE_JSON_KEYS
+
+        df = df.withColumns(
+            {
+                f"args__{key}": F.try_element_at(F.col("args_map"), F.lit(key))
+                for key in PROMOTE_JSON_KEYS
+            }
+        ).withColumn(
+            "args",
+            F.when(F.col("args_map").isNotNull(), F.lit(None)).otherwise(
+                F.col("args")
+            ),
         )
 
     # time normalize (parser_f.go:121-168 + settings.yml:786-795): parse with

@@ -44,7 +44,7 @@ base2 AS (
       WHEN b < 67 THEN '2018-03-06 16:56:22.' || ms3 || ' | ms_bot7 | WARN  | http-nio-8080-exec-' || nexec || ' | com.laisky.svc.BotHandler | 112: bot event ' || dids
       WHEN b < 73 THEN '2018-02-01 16:15:43.' || ms3 || ' | mscpsvc | INFO  | http-nio-8080-exec-' || nexec || ' | com.laisky.cp.CpService | 84: handled - ms:cp event ' || dids
       WHEN b < 80 THEN CASE WHEN did % 2 = 0
-        THEN '2018-04-02 02:02:10.' || ms3 || ' | sh-datamining | INFO | http-nio-8080-exec-' || nexec || ' | {S.CONNECTOR_CLASS} | 74 | {{"k": "v' || CAST(did % 5 AS VARCHAR) || '"}}: request ' || dids
+        THEN '2018-04-02 02:02:10.' || ms3 || ' | sh-datamining | INFO | http-nio-8080-exec-' || nexec || ' | {S.CONNECTOR_CLASS} | 74 | {{"k": "v' || CAST(did % 5 AS VARCHAR) || CASE WHEN did % 4 = 0 THEN '", "nested": {{"a": "' || CAST(did % 7 AS VARCHAR) || '"}}}}' ELSE '"}}' END || ': request ' || dids
         ELSE '2018-04-02 02:02:10.' || ms3 || ' | sh-datamining | INFO | http-nio-8080-exec-' || nexec || ' | {S.CONNECTOR_CLASS} | 74: plain request ' || dids END
       WHEN b < 87 THEN '2018-02-05 10:33:13.' || ms3 || ' | geely:nlcc | INFO | http-bio-8081-exec-' || CAST(did % 9 + 1 AS VARCHAR) || ' | {S.GEELY_CLASS}:57 - Outbound Message ' || dids
       WHEN b < 91 THEN CASE WHEN did % 2 = 0
@@ -53,7 +53,7 @@ base2 AS (
       WHEN b < 94 THEN '[2018-08-03T05:42:42.' || ms6 || 'Z - DEBUG - {S.RAMJET_PATH}:129] IsFileReadyToUpload for ' || dids || '.log.gz'
       WHEN b < 96 THEN chr(9) || '{S.CONTINUATION_PREFIX}' || CAST(did % 90 + 10 AS VARCHAR) || ')'
       WHEN b < 98 THEN 'orphan ' || dids
-      ELSE '0.' || dids END AS source,
+      ELSE '2018-03-06 16:56:22.' || ms3 || ' | corrupted ' || dids END AS source,
     CASE WHEN did % 10 = 0 THEN 1 + (did*131071) % 512 ELSE 1 + (did*131071) % 64 END AS n_tok
   FROM base1),
 seq AS (
@@ -178,6 +178,19 @@ _TS_SQL = f"""CASE
     ELSE NULL END"""
 
 
+def _promoted_json_sql() -> str:
+    """args__<key> promotions: the flattened-map key `a__b` is the JSON path
+    `$.a.b` (FlattenMap's `__` join run in reverse)."""
+    outs = []
+    for key in C.PROMOTE_JSON_KEYS:
+        path = "$." + key.replace("__", ".")
+        outs.append(
+            f"CASE WHEN tag_base IN ({_JSON_FAMILIES}) AND json_valid(args)\n"
+            f"         THEN json_extract_string(args, '{path}') END AS args__{key},"
+        )
+    return "\n    ".join(outs)
+
+
 def _parsed_ctes() -> str:
     matched = _parser_case(lambda p: f"regexp_matches(source, '{p.pattern}')")
     field_cols = ",\n    ".join(
@@ -199,8 +212,7 @@ parsed2 AS (
   SELECT * FROM parsed1 WHERE {must}),
 parsed3 AS (
   SELECT * EXCLUDE (args),
-    CASE WHEN tag_base IN ({_JSON_FAMILIES}) AND json_valid(args)
-         THEN json_extract_string(args, '$.k') END AS args__k,
+    {_promoted_json_sql()}
     CASE WHEN tag_base IN ({_JSON_FAMILIES}) AND json_valid(args)
          THEN NULL ELSE args END AS args,
     {_TS_SQL} AS ts
@@ -301,7 +313,8 @@ def q_parsed_fields() -> str:
         _ACCEPTOR_CTES,
         _parsed_ctes(),
         final="""SELECT doc_id, tag, "time", app, project, level, thread, class, line,
-       args, args__k, message, ts, array_to_string(tokens, ',') AS tokens_csv, n_tok
+       args, args__k, args__nested__a, message, ts,
+       array_to_string(tokens, ',') AS tokens_csv, n_tok
 FROM parsed""",
     )
 

@@ -33,7 +33,13 @@ Family layout by ``bucket = did % 100``:
 | 91-93  | ramjet        | ramjet           | es_general |
 | 94-95  | continuation  | spring           | concat-folded into spring head (same container) |
 | 96-97  | unknown tag   | junkapp          | dropped by accept_tags whitelist |
-| 98-99  | junk body     | spring           | retag app.spring, dropped by parser (no match) |
+| 98-99  | corrupt head  | spring           | retag app.spring, dropped by parser (parse_no_match) |
+
+Bucket 98/99 lines are spring-HEAD-shaped (they match the spring
+``head_regexp`` so they stand alone as their own concat session instead of
+folding into a neighbouring head) but carry only one ``|`` field, so the
+connector/spring parser pattern genuinely misses: the parse_no_match
+discard path is exercised independently of any other family.
 
 Identity: ``doc_id = '<base>.<env>-c<container:04d>-<seq:08d>'`` — the tag is
 recoverable from the doc_id prefix (the reference's
@@ -116,11 +122,18 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
         F.lit(" | mscpsvc | INFO  | http-nio-8080-exec-"), nexec,
         F.lit(" | com.laisky.cp.CpService | 84: handled - ms:cp event "), dids,
     )
+    # every other args row carries a NESTED object so the parser's recursive
+    # FlattenMap path (args__nested__a) is exercised end-to-end
+    connector_args_tail = F.when(
+        did % 4 == 0,
+        F.concat(F.lit('", "nested": {"a": "'), (did % 7).cast("string"), F.lit('"}}')),
+    ).otherwise(F.lit('"}'))
     connector_args_line = F.concat(
         F.lit("2018-04-02 02:02:10."), ms3,
         F.lit(" | sh-datamining | INFO | http-nio-8080-exec-"), nexec,
         F.lit(" | " + CONNECTOR_CLASS + ' | 74 | {"k": "v'), (did % 5).cast("string"),
-        F.lit('"}: request '), dids,
+        connector_args_tail,
+        F.lit(": request "), dids,
     )
     connector_plain_line = F.concat(
         F.lit("2018-04-02 02:02:10."), ms3,
@@ -147,7 +160,11 @@ def sequences_df(spark: SparkSession, sf_dir: str, rep: int = 1) -> DataFrame:
         F.lit("\t" + CONTINUATION_PREFIX), ((did % 90) + 10).cast("string"), F.lit(")")
     )
     junk_tag_line = F.concat(F.lit("orphan "), dids)
-    junk_body_line = F.concat(F.lit("0."), dids)
+    # head-shaped (matches SPRING_HEAD_REGEX => standalone session) but only
+    # one pipe field => the spring/connector parser pattern misses
+    junk_body_line = F.concat(
+        F.lit("2018-03-06 16:56:22."), ms3, F.lit(" | corrupted "), dids
+    )
 
     base = (
         F.when(b < 73, "spring")

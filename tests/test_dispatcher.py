@@ -39,3 +39,29 @@ def test_write_sinks_salted_matches_logical_route(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(paths["es_general"]).select("doc_id").collect()
     )
     assert cp_in_kafka and cp_in_kafka <= es
+
+
+def test_every_synth_family_reaches_its_sink(spark, sf_dir):
+    """Routed-coverage audit (round-1 ADVICE): every tag family the synth
+    corpus emits must reach its documented sink — a family silently vanishing
+    upstream (e.g. the ramjet .{27} regex bug) fails here even though the
+    Spark/oracle parity gate can't see it (both sides share the config)."""
+    got = {
+        (r.tag_base, r.sink)
+        for r in P.routed(spark, sf_dir)
+        .select(F.regexp_replace("tag", r"\.[a-z]+$", "").alias("tag_base"), "sink")
+        .distinct()
+        .collect()
+    }
+    expected = {
+        ("app.spring", "es_general"),
+        ("bot", "es_general"),
+        ("cp", "es_general"),
+        ("cp", "kafka_cp"),
+        ("connector", "es_general"),
+        ("spark", "es_general"),
+        ("ramjet", "es_general"),
+        ("geely", "fluentd_backup"),
+    }
+    missing = expected - got
+    assert not missing, f"families missing from their sinks: {missing}"

@@ -75,6 +75,25 @@ def test_json_explode_connector(spark):
     assert row.message == "xxx"
 
 
+def test_ramjet_golden(spark):
+    # settings.yml:181/258-262 example line: the 26-char micros timestamp must
+    # extract (round-1 ADVICE: .{27} silently discarded every ramjet row)
+    line = (
+        "[2018-08-03T05:42:42.714151Z - DEBUG - /go/src/github.com/laisky/"
+        "go-ramjet/tasks/logrotate/backup/main.go:129] IsFileReadyToUpload for 4.log.gz"
+    )
+    df = make_msgs(spark, [{"source": line, "tag": "ramjet.sit", "tag_base": "ramjet"}])
+    rows = parse(df, DEFAULT_CONFIG).collect()
+    assert len(rows) == 1, "ramjet line must parse, not fall to parse_no_match"
+    row = rows[0]
+    assert row.time == "2018-08-03T05:42:42.714151"
+    assert row.level == "DEBUG"
+    assert row["class"].endswith("logrotate/backup/main.go")
+    assert row.line == "129"
+    assert row.message == "IsFileReadyToUpload for 4.log.gz"
+    assert row.ts == "2018-08-03T05:42:42.714151Z"  # already-UTC passthrough
+
+
 def test_tokens_untouched(spark):
     # the per-row invariant: token arrays pass through parse unchanged
     line = "2018-03-06 16:56:22.514 | a | I | t | c.K | 1: m"

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from go_fluentd_spark.functions.textops import (
     env_substitute,
+    flatten_json_map,
     flatten_struct,
     replace_str_by_msg,
     template_with_map,
@@ -66,6 +67,30 @@ def test_flatten_struct_golden(spark):
     assert set(flat.columns) == {"a", "b__c", "b__d__e", "f"}
     row = flat.collect()[0]
     assert (row.a, row.b__c, row.b__d__e, row.f) == ("1", 2, 3, 4)
+
+
+def test_flatten_json_map_golden(spark):
+    # library/utils_test.go:11-54 map-in-map golden over a DYNAMIC payload:
+    # {"a":"1","b":{"c":2,"d":{"e":3}},"f":4} flattens to a/b__c/b__d__e/f,
+    # parent keys deleted, scalars stringified
+    df = spark.createDataFrame(
+        [('{"a": "1", "b": {"c": 2, "d": {"e": 3}}, "f": 4}',)], "j string"
+    )
+    got = df.select(flatten_json_map(F.col("j")).alias("m")).collect()[0].m
+    assert got == {"a": "1", "b__c": "2", "b__d__e": "3", "f": "4"}
+
+
+def test_flatten_json_map_edges(spark):
+    rows = [
+        ("not json",),          # malformed => NULL map
+        ('{"x": "{oops"}',)  ,  # brace-leading STRING value stays verbatim
+        ('{"deep": {"a": {"b": {"c": 1}}}}',),  # beyond max_depth: JSON text
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = [r.m for r in df.select(flatten_json_map(F.col("j")).alias("m")).collect()]
+    assert out[0] is None
+    assert out[1] == {"x": "{oops"}
+    assert out[2] == {"deep__a__b": '{"c":1}'}
 
 
 def test_env_substitute():
