@@ -202,6 +202,15 @@ def _q_kafka_sink_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage monitor totals (monitor.go:19-42): rows at every pipeline
+    stage + discards, so conservation (concat = parsed + discarded) is
+    checkable in one result."""
+    from go_fluentd_spark.operators.monitor import stage_counts
+
+    return stage_counts(spark, sf_dir)
+
+
 def _q_discards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_fluentd_spark.config import DEFAULT_CONFIG
     from go_fluentd_spark.operators.audit import discard_reasons
@@ -253,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_counts": _wrap(_q_sink_counts),
         "routed_rows": _wrap(_q_routed_rows),
         "discards": _wrap(_q_discards),
+        "stage_counts": _wrap(_q_stage_counts),
     }
     qs.update({name: _wrap(fn) for name, fn in _DATAPREP.items()})
     qs.update(
@@ -280,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "routed_rows": oracle.q_routed_rows(),
         "kafka_sink_values": oracle.q_kafka_sink_values(),
         "discards": oracle.q_discards(),
+        "stage_counts": oracle.q_stage_counts(),
         "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})

@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     cntp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     cntp.add_argument("--cores", type=int, default=None)
 
+    monp = sub.add_parser(
+        "monitor", help="per-stage totals + rows/sec (the /monitor analogue)"
+    )
+    monp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    monp.add_argument("--out", default=None, help="also write stage_counts parquet here")
+    monp.add_argument("--cores", type=int, default=None)
+
     stp = sub.add_parser("stream", help="streaming variant over a dir source")
     stp.add_argument("--src", required=True)
     stp.add_argument("--out", required=True)
@@ -62,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
 
             for r in sink_counts(spark, args.sf_dir).orderBy("sink", "tag").collect():
                 print(f"{r.sink}\t{r.tag}\t{r.n}")
+        elif args.cmd == "monitor":
+            from go_fluentd_spark.operators.monitor import stage_counts, stage_metrics
+
+            for m in stage_metrics(spark, args.sf_dir):
+                print(json.dumps(m))
+            if args.out:
+                stage_counts(spark, args.sf_dir).write.mode("overwrite").parquet(
+                    os.path.join(args.out, "stage_counts")
+                )
         elif args.cmd == "stream":
             from go_fluentd_spark.streaming.stream_pipeline import run_pipeline_stream
 

@@ -85,6 +85,11 @@ CONCAT_CONFIGS: dict[str, dict] = {
     },
 }
 CONCAT_MAX_LEN = 300_000  # settings.yml "concat_max_len: 300000"
+# session-size guard beyond the reference: bounds the ELEMENT COUNT a concat
+# group can accumulate (max_len bounds the char sum, but a pathological
+# container emitting millions of near-empty tails would still concentrate an
+# unbounded collect_list in one task at 100 TB scale)
+CONCAT_MAX_MERGED = 100_000
 
 # ---------------------------------------------------------------------------
 # Parser (reference internal/tagfilters/parser_f.go, settings.yml:763-809)
@@ -297,6 +302,7 @@ class PipelineConfig:
     sinks: list[SinkConfig] = field(default_factory=lambda: list(SINKS))
     post_max_len: int = POST_MAX_LEN
     concat_max_len: int = CONCAT_MAX_LEN
+    concat_max_merged: int = CONCAT_MAX_MERGED
     run_key: str = "local"  # msgid prefix (DistributeKey, controllor.go:477-480)
     # extraction backend: "native" (JVM regexp_extract) or "pandas" (Arrow,
     # one compiled-regex pass per family) — see operators/parser.py; both are

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from go_fluentd_spark.config import CONCAT_CONFIGS
+from go_fluentd_spark.config import CONCAT_CONFIGS, CONCAT_MAX_MERGED
 
 
 def _head_expr(configs: dict[str, dict]):
@@ -46,6 +46,7 @@ def concat_sessions(
     df: DataFrame,
     configs: dict[str, dict] | None = None,
     max_len: int | None = None,
+    max_merged: int | None = CONCAT_MAX_MERGED,
 ) -> DataFrame:
     """Fold multiline records.  Input needs columns
     (doc_id, tokens, n_tok, source, tag, tag_base, env, container_id, id);
@@ -55,7 +56,9 @@ def concat_sessions(
     Tags with no concat config pass through untouched (grp = own id).
     ``max_len``: once the accumulated buffer would exceed it, the session is
     flushed and subsequent tails pass through alone (``concator_f.go:197-202``
-    + ``:151-157``).
+    + ``:151-157``).  ``max_merged`` additionally bounds the session's ROW
+    count (an at-scale guard: max_len bounds chars, not the number of
+    near-empty tails one group's collect_list can accumulate in one task).
     """
     configs = CONCAT_CONFIGS if configs is None else configs
     is_head = _head_expr(configs)
@@ -75,17 +78,23 @@ def concat_sessions(
         ),
     )
 
-    if max_len is not None:
-        # running buffer length within the candidate group; a tail whose
-        # predecessor already filled the buffer is evicted to its own group
+    if max_len is not None or max_merged is not None:
+        # running buffer size within the candidate group; a tail whose
+        # predecessors already filled the buffer (chars or rows) is evicted
+        # to its own group
         wg = (
             Window.partitionBy("tag", "container_id", "_grp")
             .orderBy("id")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        prior_len = F.coalesce(F.sum(F.length("source")).over(wg), F.lit(0))
+        evict = F.lit(False)
+        if max_len is not None:
+            prior_len = F.coalesce(F.sum(F.length("source")).over(wg), F.lit(0))
+            evict = evict | (prior_len >= max_len)
+        if max_merged is not None:
+            evict = evict | (F.count(F.lit(1)).over(wg) >= max_merged)
         df = df.withColumn(
-            "_grp", F.when(prior_len >= max_len, F.col("id")).otherwise(F.col("_grp"))
+            "_grp", F.when(evict, F.col("id")).otherwise(F.col("_grp"))
         )
 
     merged = (

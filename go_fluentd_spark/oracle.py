@@ -98,6 +98,16 @@ grp AS (
          (PARTITION BY tag, container_id ORDER BY id ROWS UNBOUNDED PRECEDING), id)
     END AS grp_id
   FROM headed),
+grp2 AS (
+  -- max_len / max_merged eviction (mirrors operators/concat.py): a tail whose
+  -- predecessors already filled the buffer (chars or rows) gets its own group
+  SELECT * REPLACE(
+    CASE WHEN coalesce(sum(length(source)) OVER wprior, 0) >= {C.CONCAT_MAX_LEN}
+           OR count(*) OVER wprior >= {C.CONCAT_MAX_MERGED}
+         THEN id ELSE grp_id END AS grp_id)
+  FROM grp
+  WINDOW wprior AS (PARTITION BY tag, container_id, grp_id ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 concat0 AS (
   SELECT tag, container_id, grp_id,
     min(id) AS id,
@@ -109,7 +119,7 @@ concat0 AS (
     string_agg(source, '' ORDER BY id) AS source,
     count(*) AS n_merged,
     list(id ORDER BY id) AS all_ids
-  FROM grp GROUP BY tag, container_id, grp_id),
+  FROM grp2 GROUP BY tag, container_id, grp_id),
 concatted AS (
   SELECT * EXCLUDE (all_ids, grp_id),
     list_filter(all_ids, x -> x <> id) AS ext_ids
@@ -330,8 +340,9 @@ def q_sink_counts(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
     )
 
 
-def q_discards(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
-    """Mirror of operators/audit.py::discard_reasons."""
+def _discard_ctes() -> str:
+    """CTE chain for the discard audit (mirror of
+    operators/audit.py::discard_reasons); builds on ``concatted``."""
     matched = _parser_case(lambda p: f"regexp_matches(source, '{p.pattern}')")
 
     def must(p: C.ParserConfig) -> str:
@@ -350,7 +361,7 @@ def q_discards(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
 
     must_c = _parser_case(must)
     ts_c = _parser_case(ts_ok)
-    discards = f"""
+    return f"""
 retag_all AS (
   SELECT doc_id,
     (tag_base = 'spark' AND regexp_matches(source, '{C.SPARK_IGNORE_REGEX}')) AS spark_ignored,
@@ -370,11 +381,32 @@ reasons AS (
     END AS reason
   FROM flags)
 """
+
+
+def q_discards(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
     return _with(
         _SEQ_CTES,
         _CONCAT_CTES,
-        discards,
+        _discard_ctes(),
         final="SELECT doc_id, tag, reason FROM reasons WHERE reason IS NOT NULL",
+    )
+
+
+def q_stage_counts(cfg: C.PipelineConfig = C.DEFAULT_CONFIG) -> str:
+    """Mirror of operators/monitor.py::stage_counts (monitor.go:19-42 totals)."""
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        _ACCEPTOR_CTES,
+        _parsed_ctes(),
+        _enriched_ctes(cfg),
+        _discard_ctes(),
+        final="""SELECT 'ingest' AS stage, count(*) AS n FROM ingest
+UNION ALL SELECT 'concat', count(*) FROM concatted
+UNION ALL SELECT 'accepted', count(*) FROM accepted
+UNION ALL SELECT 'parsed', count(*) FROM parsed
+UNION ALL SELECT 'routed', count(*) FROM routed
+UNION ALL SELECT 'discarded', count(*) FROM reasons WHERE reason IS NOT NULL""",
     )
 
 

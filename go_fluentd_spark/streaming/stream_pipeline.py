@@ -83,6 +83,7 @@ def concat_sessions_streaming(
     df: DataFrame,
     configs: dict[str, dict] | None = None,
     max_len: int = DEFAULT_CONFIG.concat_max_len,
+    max_merged: int = DEFAULT_CONFIG.concat_max_merged,
     gap_ms: int = 5000,
 ) -> DataFrame:
     """Stateful multiline concat.  Input: ingest-column frame (streaming).
@@ -148,8 +149,11 @@ def concat_sessions_streaming(
                     open_sess = row
                 elif open_sess is None:
                     flush(row)  # lone tail passthrough (concator_f.go:151-157)
-                elif len(open_sess["source"]) >= max_len:
-                    flush(open_sess)  # max_len overflow (concator_f.go:197-202)
+                elif (
+                    len(open_sess["source"]) >= max_len
+                    or 1 + len(open_sess["ext_ids"]) >= max_merged
+                ):
+                    flush(open_sess)  # max_len/max_merged overflow (:197-202)
                     open_sess = None
                     flush(row)
                 else:

@@ -26,3 +26,15 @@ def test_conservation(spark, sf_dir):
         assert by_reason.get("bad_time", 0) > 0
     finally:
         con.unpersist()
+
+
+def test_stage_counts_conservation(spark, sf_dir):
+    """monitor.go:19-42 analogue: the per-stage totals must satisfy the
+    pipeline's conservation identities in one query result."""
+    from go_fluentd_spark.operators.monitor import stage_counts
+
+    n = {r.stage: r.n for r in stage_counts(spark, sf_dir).collect()}
+    assert set(n) == {"ingest", "concat", "accepted", "parsed", "routed", "discarded"}
+    assert n["ingest"] >= n["concat"] >= n["accepted"] >= n["parsed"]
+    # every concat-stage row is parsed through or discarded with a reason
+    assert n["concat"] == n["parsed"] + n["discarded"]

@@ -12,10 +12,10 @@ HEAD = "2018-03-06 16:56:22.000 | a | I | t | c.K | 1: H{}"
 TAIL = "\tat tail {}"
 
 
-def python_fold(rows, max_len=None):
+def python_fold(rows, max_len=None, max_merged=None):
     """Reference semantics: per (tag, container) in id order; head opens a
-    session, tail appends (no separator) unless buffer >= max_len; lone tails
-    pass through."""
+    session, tail appends (no separator) unless the buffer is full (>= max_len
+    chars or >= max_merged rows); lone tails pass through."""
     out = {}
     open_sess = {}
     for rid, container, is_head in sorted(rows):
@@ -26,7 +26,10 @@ def python_fold(rows, max_len=None):
             out[rid] = [src, []]
         elif key in open_sess:
             head_id = open_sess[key]
-            if max_len is not None and len(out[head_id][0]) >= max_len:
+            full = (max_len is not None and len(out[head_id][0]) >= max_len) or (
+                max_merged is not None and 1 + len(out[head_id][1]) >= max_merged
+            )
+            if full:
                 del open_sess[key]
                 out[rid] = [src, []]
             else:
@@ -54,8 +57,12 @@ rows_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(rows=rows_strategy, use_max_len=st.booleans())
-def test_concat_matches_reference_fold(spark, rows, use_max_len):
+@given(
+    rows=rows_strategy,
+    use_max_len=st.booleans(),
+    max_merged=st.sampled_from([None, 2, 4]),
+)
+def test_concat_matches_reference_fold(spark, rows, use_max_len, max_merged):
     max_len = 80 if use_max_len else None
     msgs = [
         {
@@ -70,6 +77,43 @@ def test_concat_matches_reference_fold(spark, rows, use_max_len):
     ]
     got = {
         r.id: (r.source, list(r.ext_ids))
-        for r in concat_sessions(make_msgs(spark, msgs), max_len=max_len).collect()
+        for r in concat_sessions(
+            make_msgs(spark, msgs), max_len=max_len, max_merged=max_merged
+        ).collect()
     }
-    assert got == python_fold(rows, max_len=max_len)
+    assert got == python_fold(rows, max_len=max_len, max_merged=max_merged)
+
+
+def test_concat_adversarial_single_container_bounded(spark):
+    """One container floods one head with tiny tails: the max_merged guard
+    must bound every group's element count (the at-scale collect_list
+    concentration guard) while conserving rows."""
+    n = 1200
+    cap = 100
+    msgs = [
+        {
+            "id": 0,
+            "container_id": "hot",
+            "source": HEAD.format(0),
+            "tag": "spring.sit",
+            "tag_base": "spring",
+            "doc_id": "d0",
+        }
+    ] + [
+        {
+            "id": i,
+            "container_id": "hot",
+            "source": "x",  # near-empty tail: max_len alone would never fire
+            "tag": "spring.sit",
+            "tag_base": "spring",
+            "doc_id": f"d{i}",
+        }
+        for i in range(1, n)
+    ]
+    out = concat_sessions(
+        make_msgs(spark, msgs), max_len=300_000, max_merged=cap
+    ).collect()
+    assert max(r.n_merged for r in out) <= cap
+    assert sum(r.n_merged for r in out) == n  # conservation: nothing dropped
+    # the first session absorbed exactly cap rows; the rest passed alone
+    assert sorted(r.n_merged for r in out)[-1] == cap
