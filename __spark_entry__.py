@@ -134,6 +134,9 @@ _DATAPREP = {
     # ORDER BY ... LIMIT k is deterministic in both engines
     "embed_topk": DP.embed_topk,
     "embed_ivf_topk": DP.embed_ivf_topk,
+    # scale path: banded hyperplane signatures + per-bucket caps
+    "embed_banded_pairs": DP.embed_banded_pairs,
+    "embed_band_stats": DP.embed_band_stats,
 }
 
 

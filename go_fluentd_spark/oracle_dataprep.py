@@ -115,17 +115,27 @@ WHERE round(len(list_filter(sa.s, x -> list_contains(sb.s, x))) * 1.0
 
 
 def q_ngram_jaccard_pairs() -> str:
+    W = D.NGRAM_RANK_WINDOW
     return f"""
 WITH d AS (
   SELECT doc_id, lang, n_chars, {_SHINGLES} AS s FROM documents),
 blocked AS (
-  SELECT doc_id, lang, s, blk
+  SELECT doc_id, lang, n_chars, s, blk
   FROM d, UNNEST([CAST(n_chars / {D.LEN_BUCKET} AS BIGINT),
                   CAST(n_chars / {D.LEN_BUCKET} AS BIGINT) + 1]) AS t(blk)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, blk ORDER BY n_chars, doc_id) AS rk
+  FROM blocked),
+rb AS (
+  SELECT doc_id, lang, blk, rk, rbk
+  FROM ranked, UNNEST([CAST(floor((rk - 1) / {W}) AS BIGINT),
+                       CAST(floor((rk - 1) / {W}) AS BIGINT) + 1]) AS t(rbk)),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
-  FROM blocked a JOIN blocked b
-    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id),
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_doc,
+                  greatest(a.doc_id, b.doc_id) AS b_doc
+  FROM rb a JOIN rb b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.rbk = b.rbk
+   AND b.rk > a.rk AND b.rk - a.rk <= {W}),
 j AS (
   SELECT a_doc, b_doc,
     len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS i,
@@ -233,6 +243,62 @@ CROSS JOIN q
 ORDER BY cos DESC, e.vec_id LIMIT {k}"""
 
 
+def _banded_buckets_sql() -> str:
+    """CTE chain ending in ``bk(vec_id, band, bucket)`` — literal plane
+    weights generated by the SAME Python (dataprep.banded_planes)."""
+    planes = D.banded_planes()
+    rows = ", ".join(
+        f"({j // D.EMB_BAND_PLANES}, {j % D.EMB_BAND_PLANES}, {planes[j]})"
+        for j in range(len(planes))
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {D.EMB_DIM} + 1), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * (p.w)[i]))"
+    )
+    return f"""
+planes AS (SELECT * FROM (VALUES {rows}) AS t(band, j, w)),
+bits AS (
+  SELECT e.vec_id, p.band, p.j,
+    CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, planes p),
+bk AS (
+  SELECT vec_id, band, CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS INT) AS bucket
+  FROM bits GROUP BY vec_id, band)"""
+
+
+def q_embed_band_stats() -> str:
+    return f"""
+WITH {_banded_buckets_sql().strip()},
+sizes AS (
+  SELECT band, bucket, count(*) AS sz FROM bk GROUP BY band, bucket)
+SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
+  CAST(sum(greatest(sz - {D.EMB_BUCKET_CAP}, 0)) AS BIGINT) AS n_overflow
+FROM sizes GROUP BY band"""
+
+
+def q_embed_banded_pairs(tau: float = 0.3) -> str:
+    dot = _dot("ea.embedding", "eb.embedding")
+    na = f"sqrt({_dot('ea.embedding', 'ea.embedding')})"
+    nb = f"sqrt({_dot('eb.embedding', 'eb.embedding')})"
+    cos = f"round({dot} / ({na} * {nb}), 4)"
+    return f"""
+WITH {_banded_buckets_sql().strip()},
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rk
+    FROM bk) t
+  WHERE rk <= {D.EMB_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_vec, b.vec_id AS b_vec
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT a_vec, b_vec, {cos} AS cos
+FROM cand
+JOIN embeddings ea ON ea.vec_id = a_vec
+JOIN embeddings eb ON eb.vec_id = b_vec
+WHERE {cos} >= {tau}"""
+
+
 def q_embed_ivf_assign() -> str:
     sq = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
     return f"""
@@ -263,4 +329,6 @@ ORACLES = {
     "embed_lsh_buckets": q_embed_lsh_buckets,
     "embed_topk": q_embed_topk,
     "embed_ivf_topk": q_embed_ivf_topk,
+    "embed_banded_pairs": q_embed_banded_pairs,
+    "embed_band_stats": q_embed_band_stats,
 }

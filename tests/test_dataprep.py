@@ -35,6 +35,88 @@ def test_dedup_exact_accounts_for_all_docs(spark, sf_dir):
     assert agg.groups <= total_docs
 
 
+def test_banded_lsh_beats_fixed_buckets(spark, sf_dir):
+    """The scale check behind embed_banded_pairs: at the chosen (bands,
+    planes/band) the banded layout must produce FEWER candidate pairs than
+    the fixed 2^8-bucket variant while recovering MORE true pairs — i.e. the
+    per-bucket math (bands * N^2 / 2^rplanes) buys recall, not just volume."""
+    tau = 0.3
+    # ground truth: brute-force cosine pairs via numpy (test-side only)
+    import numpy as np
+
+    rows = DP.embs(spark, sf_dir).select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), 1)
+    truth = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i, j in zip(*iu)
+        if C[i, j] >= tau
+    }
+    assert truth
+
+    # fixed-bucket candidates (the round-1 variant): all pairs sharing the
+    # single 8-plane signature
+    b0 = DP.embed_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    cand_fixed = (
+        b0.alias("a")
+        .join(b0.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_vec"), F.col("b.vec_id").alias("b_vec"))
+        .distinct()
+    )
+    # banded candidates with the per-bucket cap
+    bk = DP.embed_band_buckets(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy("vec_id")
+    bk = bk.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= DP.EMB_BUCKET_CAP
+    )
+    cand_banded = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_vec"), F.col("b.vec_id").alias("b_vec"))
+        .distinct()
+    )
+    fixed = {(r.a_vec, r.b_vec) for r in cand_fixed.collect()}
+    banded = {(r.a_vec, r.b_vec) for r in cand_banded.collect()}
+    recall_fixed = len(fixed & truth) / len(truth)
+    recall_banded = len(banded & truth) / len(truth)
+    assert len(banded) < len(fixed), (len(banded), len(fixed))
+    assert recall_banded > recall_fixed, (recall_banded, recall_fixed)
+
+
+def test_ngram_blocks_bounded_on_skew(spark):
+    """Adversarial skew: hundreds of docs in ONE (lang, length) block.  The
+    sorted-neighbourhood rank windows must bound every join group to
+    2*window members by construction — the O(B^2) failure mode is gone."""
+    window = 16
+    n = 300
+    rows = [(f"d{i:04d}", "en", 40, ["abcd", "bcde"]) for i in range(n)]
+    d = spark.createDataFrame(
+        rows, "doc_id string, lang string, n_chars int, sh array<string>"
+    )
+    blocked = DP.ngram_candidate_blocks(d, window=window)
+    sizes = blocked.groupBy("lang", "blk", "rbk").agg(F.count(F.lit(1)).alias("sz"))
+    assert sizes.agg(F.max("sz")).collect()[0][0] <= 2 * window
+    # candidate volume is O(B * window), not O(B^2)
+    n_cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), ["lang", "blk", "rbk"])
+        .filter(
+            (F.col("b.rk") > F.col("a.rk")) & (F.col("b.rk") - F.col("a.rk") <= window)
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= 2 * n * window  # vs n*(n-1)/2 = 44850 unbounded
+
+
 def test_simhash_identical_docs_collide(spark, sf_dir):
     # exact duplicates (same text) must have identical simhash
     dups = (
