@@ -137,6 +137,9 @@ _DATAPREP = {
     # scale path: banded hyperplane signatures + per-bucket caps
     "embed_banded_pairs": DP.embed_banded_pairs,
     "embed_band_stats": DP.embed_band_stats,
+    # rows-only (genuinely non-SQL-expressible: seeded ITERATIVE MLlib
+    # KMeans fit); recall vs brute force pinned by pytest instead
+    "embed_ivf_kmeans_topk": DP.embed_ivf_kmeans_topk,
 }
 
 
