@@ -73,10 +73,19 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def read_sequence_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream of tokenized sequences (at scale: the Kafka or
-    Iceberg-incremental source — same downstream plan)."""
-    return spark.readStream.schema(SEQ_SCHEMA).parquet(src_dir)
+def read_sequence_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of tokenized sequences (at scale: the Kafka source
+    — ``streaming/kafka_source.py`` — or Iceberg-incremental; same downstream
+    plan).  ``max_files_per_trigger`` is the file-source throttle knob (the
+    kafka source's ``maxOffsetsPerTrigger`` twin): rate-limits intake at the
+    source, the non-lossy analogue of the reference's token bucket
+    (``acceptorfilters/pipeline.go:49-61``)."""
+    reader = spark.readStream.schema(SEQ_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(src_dir)
 
 
 def concat_sessions_streaming(
@@ -189,13 +198,17 @@ def run_pipeline_stream(
     checkpoint_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     with_concat: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """readStream -> (stateful concat) -> stateless chain -> foreachBatch
     per-sink writes + counts.  Returns the StreamingQuery (caller triggers
-    availableNow or continuous)."""
+    availableNow or continuous).  ``max_files_per_trigger`` throttles intake
+    at the source (see read_sequence_stream)."""
     import os
 
-    df = with_ingest_columns(read_sequence_stream(spark, src_dir))
+    df = with_ingest_columns(
+        read_sequence_stream(spark, src_dir, max_files_per_trigger)
+    )
     if with_concat:
         df = concat_sessions_streaming(df)
     df = acceptor_chain(df, cfg)

@@ -1,0 +1,93 @@
+"""Kafka streaming source: wire decode (kafka.go:209-252) + round-trip from
+the Kafka SENDER's serialized values, driven through a real Structured
+Streaming query via a file-backed stream carrying the kafka wire schema (no
+broker in this environment; the reader half only adds broker options)."""
+
+
+from pyspark.sql import functions as F
+
+from go_fluentd_spark.sources.synth import sequences_df, with_ingest_columns
+from go_fluentd_spark.streaming.kafka_source import decode_kafka_wire
+
+WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp"
+)
+
+
+def _wire_frame(spark, sf_dir):
+    """Sender -> wire: serialize the ingest frame the way the Kafka sender
+    marshals values (to_json of the message fields, kafka.go:64-188)."""
+    df = with_ingest_columns(sequences_df(spark, sf_dir))
+    value = F.to_json(
+        F.struct(
+            "doc_id",
+            "tag",
+            F.array_join("tokens", ",").alias("tokens_csv"),
+            F.col("n_tok").cast("string").alias("n_tok"),
+            "source",
+        )
+    )
+    return df.select(
+        F.col("doc_id").cast("binary").alias("key"),
+        value.cast("binary").alias("value"),
+        F.lit("sequences").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("id").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+
+
+def test_decode_kafka_wire_roundtrip(spark, sf_dir):
+    orig = sequences_df(spark, sf_dir)
+    decoded = decode_kafka_wire(_wire_frame(spark, sf_dir))
+    assert decoded.count() == orig.count()
+    # tokens survive the csv round-trip; tag resolved from the payload
+    a = {r.doc_id: (r.tokens, r.n_tok, r.source) for r in orig.collect()}
+    b = {r.doc_id: (r.tokens, r.n_tok, r.source) for r in decoded.collect()}
+    assert a == b
+    tags = decoded.select("tag").distinct().collect()
+    assert all("." in r.tag for r in tags)  # real tags, not the default
+
+
+def test_decode_kafka_wire_bad_rows_discarded(spark):
+    rows = [
+        (None, b"not json at all", "t", 0, 0),
+        (None, b'{"tag": "x.sit"}', "t", 0, 1),  # json but no doc_id
+        (None, b'{"doc_id": "d1", "tag": "cp.sit", "tokens_csv": "1,2", "n_tok": "2", "source": "s"}', "t", 0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset bigint"
+    ).withColumn("timestamp", F.current_timestamp())
+    out = decode_kafka_wire(df).collect()
+    assert len(out) == 1 and out[0].doc_id == "d1" and out[0].tokens == [1, 2]
+
+
+def test_kafka_wire_stream(spark, sf_dir, tmp_path):
+    """The decode runs UNCHANGED on a streaming frame: file-backed stream of
+    wire rows -> decode -> per-tag counts, availableNow trigger."""
+    src = str(tmp_path / "wire")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _wire_frame(spark, sf_dir).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(WIRE_SCHEMA).option(
+        "maxFilesPerTrigger", "1"  # the file-source throttle knob under test
+    ).parquet(src)
+    decoded = decode_kafka_wire(stream)
+
+    q = (
+        decoded.writeStream.foreachBatch(
+            lambda b, i: b.groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n = got.agg(F.sum("n")).collect()[0][0]
+    assert n == sequences_df(spark, sf_dir).count()
