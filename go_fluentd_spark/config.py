@@ -241,6 +241,20 @@ POST_MAX_LEN = 307_200  # default_f truncation, settings.yml:671
 # ---------------------------------------------------------------------------
 
 
+# MustIncludeFileds (library/const.go:8-17) restated over our declared
+# schema: columns that survive ANY include-projection (@timestamp -> ts;
+# doc_id added as the row identity; container_name has no analogue here)
+MUST_INCLUDE_FIELDS = (
+    "tag",
+    "ts",
+    "msgid",
+    "container_id",
+    "level",
+    "datasource",
+    "doc_id",
+)
+
+
 @dataclass(frozen=True)
 class SinkConfig:
     name: str
@@ -248,6 +262,10 @@ class SinkConfig:
     # ("geely.prod") exactly like settings.yml sender tag lists (yml:463-561)
     tags: tuple[str, ...]
     kind: str = "es"  # es | kafka | fluentd | stdout
+    # FieldsFilter include list (fields.go:54-81): when set, the sink's
+    # physical write projects to include ∪ MUST_INCLUDE_FIELDS — a REAL
+    # select() (column pruning reaches the write), not per-row nulling
+    include_fields: tuple[str, ...] | None = None
 
 
 SINKS: list[SinkConfig] = [
@@ -270,8 +288,15 @@ SINKS: list[SinkConfig] = [
             "spark",
         ),
     ),
-    # settings.yml:546-547 — tag cp goes to BOTH es_general and kafka_cp
-    SinkConfig(name="kafka_cp", kind="kafka", tags=("cp",)),
+    # settings.yml:546-547 — tag cp goes to BOTH es_general and kafka_cp;
+    # the kafka sender marshals only the value fields, so its physical table
+    # projects to them (FieldsFilter include semantics, fields.go:54-81)
+    SinkConfig(
+        name="kafka_cp",
+        kind="kafka",
+        tags=("cp",),
+        include_fields=("n_tok", "message"),
+    ),
     # settings.yml:559-561 — env-qualified membership
     SinkConfig(name="fluentd_backup", kind="fluentd", tags=("geely.prod",)),
 ]

@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from go_fluentd_spark.config import PipelineConfig, sink_tag_rows
+from go_fluentd_spark.config import MUST_INCLUDE_FIELDS, PipelineConfig, sink_tag_rows
 
 
 def sink_membership(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
@@ -68,6 +68,13 @@ def write_sinks(
             for c in conds[1:]:
                 pred = pred | c
             part = df.filter(pred)
+            if sink.include_fields:
+                # FieldsFilter include projection (fields.go:54-81 +
+                # library/const.go:8-17): a REAL select — the written table
+                # contains exactly include ∪ MustIncludeFileds, and Catalyst
+                # prunes the dropped columns out of the upstream scan
+                keep = set(sink.include_fields) | set(MUST_INCLUDE_FIELDS)
+                part = part.select(*[c for c in part.columns if c in keep])
             if salt_buckets:
                 part = part.repartition(
                     spark.sparkContext.defaultParallelism,

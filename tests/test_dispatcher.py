@@ -41,6 +41,26 @@ def test_write_sinks_salted_matches_logical_route(spark, sf_dir, tmp_path):
     assert cp_in_kafka and cp_in_kafka <= es
 
 
+def test_include_fields_true_projection(spark, sf_dir, tmp_path):
+    """fields.go:54-81 + library/const.go:8-17: a sink with an include list
+    writes EXACTLY include ∪ MustIncludeFileds — a real projection, not
+    nulled columns."""
+    from go_fluentd_spark.config import MUST_INCLUDE_FIELDS
+
+    enriched = P.enriched(spark, sf_dir)
+    paths = write_sinks(spark, enriched, DEFAULT_CONFIG, str(tmp_path))
+    kafka_cfg = next(s for s in DEFAULT_CONFIG.sinks if s.name == "kafka_cp")
+    assert kafka_cfg.include_fields
+    got = set(spark.read.parquet(paths["kafka_cp"]).columns)
+    expected = (set(kafka_cfg.include_fields) | set(MUST_INCLUDE_FIELDS)) & set(
+        enriched.columns
+    )
+    assert got == expected, got ^ expected
+    # sinks without an include list keep the full schema
+    full = set(spark.read.parquet(paths["es_general"]).columns)
+    assert set(enriched.columns) <= full
+
+
 def test_every_synth_family_reaches_its_sink(spark, sf_dir):
     """Routed-coverage audit (round-1 ADVICE): every tag family the synth
     corpus emits must reach its documented sink — a family silently vanishing
