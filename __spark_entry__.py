@@ -208,6 +208,14 @@ def _q_kafka_sink_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_http_sink_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTPSender batch bodies (httpforward.go:62-188): deterministic batch
+    assembly + JSON-array marshalling of a sink's routed rows."""
+    from go_fluentd_spark.operators.dispatcher import http_sink_bodies
+
+    return http_sink_bodies(spark, P.routed(spark, sf_dir))
+
+
 def _q_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage monitor totals (monitor.go:19-42): rows at every pipeline
     stage + discards, so conservation (concat = parsed + discarded) is
@@ -269,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_rows": _wrap(_q_routed_rows),
         "discards": _wrap(_q_discards),
         "stage_counts": _wrap(_q_stage_counts),
+        "http_sink_bodies": _wrap(_q_http_sink_bodies),
     }
     qs.update({name: _wrap(fn) for name, fn in _DATAPREP.items()})
     qs.update(
@@ -297,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "kafka_sink_values": oracle.q_kafka_sink_values(),
         "discards": oracle.q_discards(),
         "stage_counts": oracle.q_stage_counts(),
+        "http_sink_bodies": oracle.q_http_sink_bodies(),
         "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})

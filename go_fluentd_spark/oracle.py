@@ -427,6 +427,31 @@ FROM routed WHERE sink = 'kafka_cp'""",
     )
 
 
+def q_http_sink_bodies(
+    cfg: C.PipelineConfig = C.DEFAULT_CONFIG, sink: str = "fluentd_backup", batch_size: int = 100
+) -> str:
+    """Mirror of operators/dispatcher.py::http_sink_bodies (httpforward.go
+    batch marshalling); JSON built by concat to byte-match to_json."""
+    obj = (
+        """'{"doc_id":"' || doc_id || '","tag":"' || tag || '","msgid":"' || msgid
+       || '","n_tok":' || CAST(n_tok AS VARCHAR) || '}'"""
+    )
+    return _with(
+        _SEQ_CTES,
+        _CONCAT_CTES,
+        _ACCEPTOR_CTES,
+        _parsed_ctes(),
+        _enriched_ctes(cfg),
+        f"""rk AS (
+  SELECT *, row_number() OVER (PARTITION BY sink ORDER BY doc_id) AS _rk
+  FROM routed WHERE sink = '{sink}')""",
+        final=f"""SELECT CAST(floor((_rk - 1) / {batch_size}) AS BIGINT) AS batch_id,
+       count(*) AS n,
+       '[' || string_agg({obj}, ',' ORDER BY _rk) || ']' AS body
+FROM rk GROUP BY CAST(floor((_rk - 1) / {batch_size}) AS BIGINT)""",
+    )
+
+
 def q_replay_dedup() -> str:
     """Mirror of the journal-replay dedup query (union + distinct doc_id)."""
     return _with(
