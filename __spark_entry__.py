@@ -119,6 +119,7 @@ def _wrap(fn):
 _DATAPREP = {
     "dedup_exact": DP.dedup_exact,
     "fingerprints": DP.fingerprints,
+    "winnow_fingerprints": DP.winnow_fingerprints,
     "token_stats": DP.token_stats,
     "quality_scores": DP.quality_scores,
     "langid": DP.langid,

@@ -283,6 +283,63 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+WINNOW_K = 5  # k-gram length
+WINNOW_W = 4  # winnow window (guarantee: matches >= W+K-1 chars share a fp)
+WINNOW_B = 257  # polynomial base
+WINNOW_P = 1_000_003  # modulus (fits bigint: max term < 1.2e6 * 257^4)
+_WINNOW_POWS = [WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): Karp-Rabin
+    polynomial hash of every k-char gram of the normalized text, then the
+    min of each w-gram window, dedup'd — the standard local fingerprint set
+    whose guarantee is that any shared substring of length >= w+k-1 yields a
+    shared fingerprint.  Per-row narrow Column work.
+
+    Plan-shape note: each stage is a SEPARATE projection binding its input
+    to an attribute, and every intermediate (_codes, _hs) is consumed TWICE
+    downstream, so CollapseProject cannot inline the producing expression
+    into a higher-order-function lambda — inlined, the normalization regex
+    would re-run PER CHARACTER (measured: minutes/doc instead of ms)."""
+    t0 = norm_text(F.col("text"))
+    t = F.when(F.length(t0) < WINNOW_K, F.rpad(t0, WINNOW_K, "#")).otherwise(t0)
+
+    d = docs(spark, sf_dir).select("doc_id", t.alias("_t"))
+    d = d.select(
+        "doc_id",
+        F.transform(F.split("_t", ""), lambda c: F.ascii(c).cast("bigint")).alias(
+            "_codes"
+        ),
+    )
+    n = F.greatest(F.size("_codes") - (WINNOW_K - 1), F.lit(1))
+
+    def gram_hash(i: Column) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for j in range(WINNOW_K):
+            acc = acc + F.element_at(F.col("_codes"), i + j) * _WINNOW_POWS[j]
+        return acc % WINNOW_P
+
+    d = d.select(
+        "doc_id",
+        n.alias("n_grams"),  # second _codes use: keeps CollapseProject out
+        F.transform(F.sequence(F.lit(1), n), gram_hash).alias("_hs"),
+    )
+    m = F.greatest(F.size("_hs") - (WINNOW_W - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda s: F.array_min(F.slice(F.col("_hs"), s, WINNOW_W)),
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return d.select(
+        "doc_id",
+        "n_grams",
+        F.size(fps).alias("n_fps"),
+        F.array_join(fps, ",").alias("fps_csv"),
+    )
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens
     (letter-runs | digits | single punct)."""

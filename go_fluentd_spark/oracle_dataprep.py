@@ -40,6 +40,31 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_winnow_fingerprints() -> str:
+    K, W, P = D.WINNOW_K, D.WINNOW_W, D.WINNOW_P
+    pows = ", ".join(str(p) for p in D._WINNOW_POWS)
+    gram = (
+        f"list_sum(list_transform(range(0, {K}), "
+        f"j -> ascii(substr(t, CAST(i + j AS INT), 1)) * ([{pows}])[j + 1])) % {P}"
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, CASE WHEN length(nrm) < {K} THEN rpad(nrm, {K}, '#') ELSE nrm END AS t
+  FROM (SELECT doc_id, {_norm('text')} AS nrm FROM documents)),
+h AS (
+  SELECT doc_id, greatest(length(t) - {K - 1}, 1) AS n_grams,
+    list_transform(range(1, greatest(length(t) - {K - 1}, 1) + 1), i -> {gram}) AS hs
+  FROM t0),
+w AS (
+  SELECT doc_id, n_grams,
+    list_sort(list_distinct(list_transform(
+      range(1, greatest(n_grams - {W - 1}, 1) + 1),
+      s -> list_min(list_slice(hs, s, s + {W - 1}))))) AS fps
+  FROM h)
+SELECT doc_id, n_grams, len(fps) AS n_fps, array_to_string(fps, ',') AS fps_csv
+FROM w"""
+
+
 def _count(t: str, needle: str) -> str:
     return f"CAST((length({t}) - length(replace({t}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
 
@@ -331,4 +356,5 @@ ORACLES = {
     "embed_ivf_topk": q_embed_ivf_topk,
     "embed_banded_pairs": q_embed_banded_pairs,
     "embed_band_stats": q_embed_band_stats,
+    "winnow_fingerprints": q_winnow_fingerprints,
 }

@@ -133,6 +133,27 @@ def test_ngram_blocks_bounded_on_skew(spark):
     assert n_cand <= 2 * n * window  # vs n*(n-1)/2 = 44850 unbounded
 
 
+def test_winnowing_guarantee(spark, tmp_path):
+    """The winnowing property (Schleimer et al.): two documents sharing a
+    substring of length >= w + k - 1 chars MUST share at least one
+    fingerprint; disjoint-alphabet documents share none."""
+    shared = "zqxjvkwpbf mglh"  # 15 chars >= W + K - 1 = 8
+    rows = [
+        ("0", "aaa " + shared + " bbb"),
+        ("1", "ccc ddd " + shared),
+        ("2", "eeee ffff gggg hhhh iiii"),  # no shared k-grams with 0/1
+    ]
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    fps = {
+        r.doc_id: set(r.fps_csv.split(","))
+        for r in DP.winnow_fingerprints(spark, str(tmp_path)).collect()
+    }
+    assert fps["0"] & fps["1"], "shared substring must share a fingerprint"
+    assert not (fps["0"] & fps["2"])
+
+
 def test_simhash_identical_docs_collide(spark, sf_dir):
     # exact duplicates (same text) must have identical simhash
     dups = (
