@@ -149,9 +149,33 @@ WIRE_ROW_SCHEMA = T.StructType(
 )
 
 
+def _frame_events(msg) -> list[tuple]:
+    """One decoded Forward message -> [(tag, time, record), ...], handling
+    the protocol's THREE wire variants (fluentd.go:209-342):
+
+    - Message mode:       ``[tag, time, record]``
+    - Forward mode:       ``[tag, [[time, record], ...]]``
+    - PackedForward mode: ``[tag, <binary blob of concatenated msgpack
+                            [time, record] entries>]``
+    A trailing option element (``[tag, entries, {chunk: ...}]``) is ignored.
+    """
+    tag = str(msg[0])
+    body = msg[1]
+    if isinstance(body, (int, float)):  # Message mode: [tag, time, record]
+        return [(tag, int(body), msg[2])]
+    if isinstance(body, (bytes, bytearray)):  # PackedForward
+        out, pos = [], 0
+        blob = bytes(body)
+        while pos < len(blob):
+            entry, pos = mp_unpack(blob, pos)
+            out.append((tag, int(entry[0]), entry[1]))
+        return out
+    return [(tag, int(ts), record) for ts, record in body]  # Forward
+
+
 def decode_forward_frames(df: DataFrame, frame_col: str = "frame") -> DataFrame:
-    """Binary Forward frames -> one row per event: ``[tag, [[time, record],
-    ...]]`` exploded (fluentd.go's per-connection decode loop).  Undecodable
+    """Binary Forward frames -> one row per event (fluentd.go's
+    per-connection decode loop; all three wire variants).  Undecodable
     frames are DISCARDED (the reference logs + drops bad wire data); record
     values stringify into the declared map<string,string> overflow."""
 
@@ -161,14 +185,9 @@ def decode_forward_frames(df: DataFrame, frame_col: str = "frame") -> DataFrame:
             for frame in pdf[frame_col]:
                 try:
                     msg, _ = mp_unpack(bytes(frame))
-                    tag, entries = msg[0], msg[1]
-                    for ts, record in entries:
+                    for tag, ts, record in _frame_events(msg):
                         rows.append(
-                            (
-                                str(tag),
-                                int(ts),
-                                {str(k): str(v) for k, v in record.items()},
-                            )
+                            (tag, ts, {str(k): str(v) for k, v in record.items()})
                         )
                 except Exception:
                     continue  # bad wire data: drop (fluentd.go decode-err path)

@@ -35,6 +35,22 @@ def test_msgpack_roundtrip():
         assert got == c and pos == len(mp_pack(c)), c
 
 
+def test_decode_all_three_wire_variants(spark):
+    # fluentd.go:209-342 decodes Message, Forward, and PackedForward modes
+    packed_blob = mp_pack([1, {"log": "p1"}]) + mp_pack([2, {"log": "p2"}])
+    frames = [
+        mp_pack(["t.sit", 10, {"log": "message-mode"}]),  # Message
+        mp_pack(["t.sit", [[11, {"log": "fwd"}]], {"chunk": "c1"}]),  # Forward+option
+        mp_pack(["t.sit", packed_blob]),  # PackedForward
+    ]
+    df = spark.createDataFrame([(f,) for f in frames], "frame binary")
+    out = sorted(decode_forward_frames(df).collect(), key=lambda r: r.time)
+    assert [(r.time, r.record["log"]) for r in out] == [
+        (1, "p1"), (2, "p2"), (10, "message-mode"), (11, "fwd"),
+    ]
+    assert all(r.tag == "t.sit" for r in out)
+
+
 def test_decode_forward_frames(spark):
     frames = [
         mp_pack(["app.spring.sit", [[1518000000, {"log": "line one", "container_id": "c1"}],
