@@ -107,6 +107,13 @@ def main() -> None:
     timed("pipeline_sink_counts", lambda: route_counts(spark, full_pipeline(), DEFAULT_CONFIG).collect())
     timed("pipeline_routed_materialize", lambda: _noop_sink(full_pipeline()))
 
+    # training-data operators (documents/embeddings tables at this sf)
+    from go_fluentd_spark.operators import dataprep as DP
+
+    timed("dataprep_minhash_lsh_pairs", lambda: DP.minhash_lsh_pairs(spark, sf_dir).count())
+    timed("dataprep_embed_banded_pairs", lambda: DP.embed_banded_pairs(spark, sf_dir).count())
+    timed("dataprep_winnow_fingerprints", lambda: _noop_sink(DP.winnow_fingerprints(spark, sf_dir)))
+
     total = round(sum(timings.values()), 3)
     e2e = timings["pipeline_routed_materialize"]
     result = {
