@@ -156,12 +156,17 @@ def main() -> None:
             max(p["high"]["rows_per_sec"] for p in pairs)
             / max(p["low"]["rows_per_sec"] for p in pairs)
         ) / (n_high / n_low)
+        effs = sorted(p["efficiency"] for p in pairs)
+        median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+        )
         result["scaling_pairs"] = {
             "pairs": pairs,
             "core_ratio": n_high / n_low,
             "pinned": os.path.exists("/usr/bin/taskset"),
             "rows": pairs[0]["low"]["rows"],
             "best_leg_efficiency": round(best_eff, 3),
+            "median_efficiency": median_eff,
         }
     print(json.dumps(result))
 

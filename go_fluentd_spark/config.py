@@ -221,12 +221,14 @@ ES_INDEX_MAP_BASE: dict[str, str] = {
 }
 
 
-def es_index_rows() -> list[tuple[str, str]]:
+def es_index_rows(
+    es_map: dict[str, str] | None = None, envs: list[str] | None = None
+) -> list[tuple[str, str]]:
     """(tag, es_index) dim rows, env-substituted."""
     return [
         (f"{base}.{env}", tpl.replace("{env}", env))
-        for base, tpl in ES_INDEX_MAP_BASE.items()
-        for env in ENVS
+        for base, tpl in (es_map or ES_INDEX_MAP_BASE).items()
+        for env in (envs or ENVS)
     ]
 
 
@@ -302,15 +304,18 @@ SINKS: list[SinkConfig] = [
 ]
 
 
-def sink_tag_rows() -> list[tuple[str, str]]:
+def sink_tag_rows(
+    sinks: list["SinkConfig"] | None = None, envs: list[str] | None = None
+) -> list[tuple[str, str]]:
     """(sink, tag) membership dim — full tags, env expanded."""
     rows: list[tuple[str, str]] = []
-    for s in SINKS:
+    envs = envs or ENVS
+    for s in sinks if sinks is not None else SINKS:
         for t in s.tags:
-            if any(t.endswith("." + e) for e in ENVS):
+            if any(t.endswith("." + e) for e in envs):
                 rows.append((s.name, t))
             else:
-                rows.extend((s.name, f"{t}.{e}") for e in ENVS)
+                rows.extend((s.name, f"{t}.{e}") for e in envs)
     return rows
 
 
@@ -324,6 +329,7 @@ class PipelineConfig:
     spring_retag_rules: list[dict] = field(default_factory=lambda: list(SPRING_RETAG_RULES))
     parsers: list[ParserConfig] = field(default_factory=lambda: list(PARSERS))
     add_fields: dict[str, dict[str, str]] = field(default_factory=lambda: dict(ADD_FIELDS))
+    es_index_map: dict[str, str] = field(default_factory=lambda: dict(ES_INDEX_MAP_BASE))
     sinks: list[SinkConfig] = field(default_factory=lambda: list(SINKS))
     post_max_len: int = POST_MAX_LEN
     concat_max_len: int = CONCAT_MAX_LEN

@@ -18,7 +18,9 @@ from go_fluentd_spark.config import MUST_INCLUDE_FIELDS, PipelineConfig, sink_ta
 
 
 def sink_membership(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
-    return spark.createDataFrame(sink_tag_rows(), "sink string, tag string")
+    return spark.createDataFrame(
+        sink_tag_rows(cfg.sinks, cfg.envs), "sink string, tag string"
+    )
 
 
 def route(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -32,7 +32,9 @@ def es_index(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> DataFra
     """TagIndexMap (``elasticsearch.go:111-132``, settings.yml:503-526):
     tag -> ES index, env-substituted at plan build; unmapped tags keep NULL
     (the ES sender would skip them)."""
-    dim = spark.createDataFrame(es_index_rows(), "tag string, es_index string")
+    dim = spark.createDataFrame(
+        es_index_rows(cfg.es_index_map, cfg.envs), "tag string, es_index string"
+    )
     return df.join(F.broadcast(dim), "tag", "left")
 
 

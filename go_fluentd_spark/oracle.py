@@ -266,11 +266,11 @@ enriched1 AS (
   FROM enriched0),
 enriched AS (
   SELECT e.*, ei.es_index, '{cfg.run_key}-' || CAST(id AS VARCHAR) AS msgid
-  FROM enriched1 e LEFT JOIN {_values(C.es_index_rows(), "ei", "tag", "es_index")}
+  FROM enriched1 e LEFT JOIN {_values(C.es_index_rows(cfg.es_index_map, cfg.envs), "ei", "tag", "es_index")}
     ON e.tag = ei.tag),
 routed AS (
   SELECT e.*, s.sink
-  FROM enriched e JOIN {_values(C.sink_tag_rows(), "s", "sink", "tag")}
+  FROM enriched e JOIN {_values(C.sink_tag_rows(cfg.sinks, cfg.envs), "s", "sink", "tag")}
     ON e.tag = s.tag)
 """
 
