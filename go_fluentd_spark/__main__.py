@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--out", required=True)
     runp.add_argument("--buckets", type=int, default=32)
     runp.add_argument("--cores", type=int, default=None)
+    runp.add_argument(
+        "--monitor", action="store_true",
+        help="also write per-stage totals next to the manifest",
+    )
 
     cntp = sub.add_parser("counts", help="per-sink/per-tag counts")
     cntp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -61,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
             from go_fluentd_spark.plans.manifest import ManifestedRun
 
             m = ManifestedRun(spark, args.out, n_buckets=args.buckets)
-            stats = m.run(args.sf_dir)
+            stats = m.run(args.sf_dir, with_monitor=args.monitor)
             print(json.dumps(stats))
             print(m.stats())
         elif args.cmd == "counts":

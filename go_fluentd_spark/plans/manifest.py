@@ -79,9 +79,13 @@ class ManifestedRun:
         cfg: PipelineConfig = DEFAULT_CONFIG,
         run_id: str | None = None,
         fail_after_sinks: int | None = None,
+        with_monitor: bool = False,
     ) -> dict:
         """Process all not-yet-committed buckets; returns stats.
-        ``fail_after_sinks`` injects a crash after N sink writes (tests)."""
+        ``fail_after_sinks`` injects a crash after N sink writes (tests).
+        ``with_monitor`` also writes the per-stage totals table next to the
+        manifest (``_monitor/stage_counts``, monitor.go:19-42 analogue) —
+        opt-in because it re-derives every pipeline stage for its counts."""
         run_id = run_id or uuid.uuid4().hex[:12]
         input_sig = f"{os.path.abspath(sf_dir)}#b{self.n_buckets}"
         sinks = [s.name for s in cfg.sinks]
@@ -124,6 +128,14 @@ class ManifestedRun:
             self.spark.createDataFrame(commit_rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
                 "append"
             ).parquet(self.manifest_dir)
+            if with_monitor:
+                from go_fluentd_spark.operators.monitor import stage_counts
+
+                stage_counts(self.spark, sf_dir, cfg).withColumn(
+                    "run_id", F.lit(run_id)
+                ).coalesce(1).write.mode("append").parquet(
+                    os.path.join(self.out_dir, "_monitor", "stage_counts")
+                )
             return {
                 "run_id": run_id,
                 "buckets": len(pending),

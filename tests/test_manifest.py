@@ -22,6 +22,20 @@ def test_clean_run_then_noop_rerun(spark, sf_dir, tmp_path):
     assert sink_rows(m, "es_general") == before
 
 
+def test_run_with_monitor_writes_stage_counts(spark, sf_dir, tmp_path):
+    """monitor.go:19-42 analogue next to the manifest: per-stage totals with
+    the conservation identity intact."""
+    import os
+
+    out = str(tmp_path / "out")
+    m = ManifestedRun(spark, out, n_buckets=4)
+    m.run(sf_dir, with_monitor=True)
+    got = spark.read.parquet(os.path.join(out, "_monitor", "stage_counts"))
+    n = {r.stage: r.n for r in got.collect()}
+    assert n["concat"] == n["parsed"] + n["discarded"]
+    assert got.columns == ["stage", "n", "run_id"]
+
+
 def test_crash_before_commit_then_resume(spark, sf_dir, tmp_path):
     ref = ManifestedRun(spark, str(tmp_path / "ref"), n_buckets=8)
     ref.run(sf_dir)
