@@ -251,6 +251,36 @@ def _q_template_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-receiver channel merge (controllor.go wires every receiver into
+    one acceptor stream): the fluentd scan, the kafka decode, and the rsyslog
+    normalization unioned by name into the common acceptor shape."""
+    seq = P.ingested(spark, sf_dir).select(
+        F.lit("fluentd").alias("origin"),
+        F.col("doc_id").alias("msg_id"),
+        "tag",
+        F.col("source").alias("message"),
+    )
+    ev = _events(spark, sf_dir)
+    kafka = RV.kafka_json_decode(
+        ev.withColumn("value", F.col("props")), default_tag="kafkabuf.sit", tag_key=None
+    ).select(
+        F.lit("kafka").alias("origin"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("msg_id"),
+        "tag",
+        F.try_element_at(F.col("msg"), F.lit("k")).alias("message"),
+    )
+    rsys = RV.rsyslog_normalize(
+        ev, time_col="ts", shift_hours=8, msg_key="props"
+    ).select(
+        F.lit("rsyslog").alias("origin"),
+        F.concat(F.lit("r"), F.col("event_id").cast("string")).alias("msg_id"),
+        "tag",
+        "message",
+    )
+    return seq.unionByName(kafka).unionByName(rsys)
+
+
 def _q_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Journal committed-id dedup (journal.go:41,58; settings.yml:602): an
     at-least-once replay re-delivers rows; the dedup window collapses them.
@@ -289,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kafka_json_decode": _wrap(_q_kafka_json_decode),
             "kafka_sink_values": _wrap(_q_kafka_sink_values),
             "template_engines": _wrap(_q_template_engines),
+            "union_sources": _wrap(_q_union_sources),
             "replay_dedup": _wrap(_q_replay_dedup),
         }
     )
@@ -308,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "discards": oracle.q_discards(),
         "stage_counts": oracle.q_stage_counts(),
         "http_sink_bodies": oracle.q_http_sink_bodies(),
+        "union_sources": oracle.q_union_sources(),
         "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})

@@ -452,6 +452,20 @@ FROM rk GROUP BY CAST(floor((_rk - 1) / {batch_size}) AS BIGINT)""",
     )
 
 
+def q_union_sources() -> str:
+    """Mirror of the multi-receiver channel merge (controllor.go wires every
+    receiver into ONE acceptor stream; SURVEY §2.9 maps it to unionByName)."""
+    return _with(
+        _SEQ_CTES,
+        final="""SELECT 'fluentd' AS origin, doc_id AS msg_id, tag, source AS message FROM ingest
+UNION ALL
+SELECT 'kafka', 'k' || CAST(event_id AS VARCHAR), 'kafkabuf.sit',
+       json_extract_string(props, '$.k') FROM events
+UNION ALL
+SELECT 'rsyslog', 'r' || CAST(event_id AS VARCHAR), 'emqtt.sit', props FROM events""",
+    )
+
+
 def q_replay_dedup() -> str:
     """Mirror of the journal-replay dedup query (union + distinct doc_id)."""
     return _with(
