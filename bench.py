@@ -148,8 +148,11 @@ def main() -> None:
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2"))
         pairs = []
         for _ in range(n_pairs):
-            low = run_level(n_low, sf_dir, srep)
-            high = run_level(n_high, sf_dir, srep)
+            # best-of-2 per leg (vs the tool's standalone best-of-3): bounds
+            # the embedded evidence to ~5 min so the driver's bench run stays
+            # well inside any harness timeout
+            low = run_level(n_low, sf_dir, srep, n_runs=2)
+            high = run_level(n_high, sf_dir, srep, n_runs=2)
             eff = (high["rows_per_sec"] / low["rows_per_sec"]) / (n_high / n_low)
             pairs.append({"low": low, "high": high, "efficiency": round(eff, 3)})
         best_eff = (

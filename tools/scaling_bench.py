@@ -27,6 +27,7 @@ from go_fluentd_spark.session import build_spark
 from pyspark.sql import functions as F
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; rep = int(sys.argv[3])
+n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 os.environ["SPARK_GRAFT_SEQ_REP"] = str(rep)
 spark = build_spark("scaling", cores=cores, shuffle_partitions=cores * 2,
                     extra_conf={"spark.local.dir": "/dev/shm/spark-tmp"})
@@ -55,7 +56,7 @@ def job():
 n_rows = with_ingest_columns(sequences_df(spark, sf_dir, rep=rep)).count()
 job()  # warm-up (JVM JIT, file listing, broadcast)
 best = None
-for _ in range(3):
+for _ in range(n_runs):
     t0 = time.perf_counter(); job(); dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({"cores": cores, "rows": n_rows, "sec": round(best, 3),
@@ -64,12 +65,15 @@ spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str, rep: int) -> dict:
+def run_level(cores: int, sf_dir: str, rep: int, n_runs: int = 3) -> dict:
     # Pin the whole process tree to exactly `cores` CPUs: in local[N] the JVM's
     # GC/JIT/shuffle threads are NOT bounded by N, so an unpinned low-N leg
     # borrows idle cores and understates scaling.  taskset makes "N cores"
     # mean N cores — the cluster analogue where an executor's cgroup caps it.
-    cmd = [sys.executable, "-c", RUNNER % {"repo": REPO}, str(cores), sf_dir, str(rep)]
+    cmd = [
+        sys.executable, "-c", RUNNER % {"repo": REPO},
+        str(cores), sf_dir, str(rep), str(n_runs),
+    ]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
