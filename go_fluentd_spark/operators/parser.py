@@ -94,17 +94,18 @@ def extract_pandas(df: DataFrame, parsers: list[ParserConfig]) -> DataFrame:
             out.loc[hit.index, "_m"] = hit
         return out
 
-    # unpack all fields in ONE projection so ExtractPythonUDFs dedups to a
-    # single ArrowEvalPython, then filter on the materialized match flag —
-    # filtering on _p._m directly would inline the UDF twice (verified on
-    # the physical plan: two ArrowEvalPython nodes = regex parse run twice)
-    # NOTE (measured): Catalyst inlines the UDF into both the match filter
-    # and the field projection (two ArrowEvalPython = regex pass runs twice).
-    # Marking the UDF asNondeterministic forces a single eval BUT blocks
-    # CollapseProject/pushdown for the whole downstream plan — 4.6x slower
-    # end-to-end on bench.py.  The double eval costs ~25% of the parse stage
-    # and nothing downstream, so it stays.  (write_sinks persists the parsed
-    # frame anyway, so physical sinks never re-parse.)
+    # unpack all fields in ONE projection, then filter on the materialized
+    # match flag.  NOTE (measured, rounds 1-2): Catalyst still inlines the
+    # UDF into each downstream gate (match/must/ts filters + projection —
+    # 4 ArrowEvalPython nodes in the full parse plan).  Alternatives tried
+    # and rejected by measurement: (a) asNondeterministic forces a single
+    # eval BUT blocks CollapseProject/pushdown downstream — 4.6x slower
+    # end-to-end; (b) a nondeterministic barrier column in the unpack
+    # projection — node count UNCHANGED (4) and parse 29% slower; (c)
+    # dropping the _m filter (redundant when every family has must_include)
+    # — node count unchanged.  The repeated eval costs ~25% of this one
+    # stage and nothing downstream, so it stays.  (write_sinks persists the
+    # parsed frame anyway, so physical sinks never re-parse.)
     st = extract(F.col("tag_base"), F.col("source"))
     df = df.withColumn("_p", st)
     df = df.withColumns(
