@@ -120,6 +120,8 @@ _DATAPREP = {
     "dedup_exact": DP.dedup_exact,
     "fingerprints": DP.fingerprints,
     "winnow_fingerprints": DP.winnow_fingerprints,
+    # tokens-NATIVE dedup signal over the sequence table itself
+    "token_ngram_dup_stats": DP.token_ngram_dup_stats,
     "token_stats": DP.token_stats,
     "quality_scores": DP.quality_scores,
     "langid": DP.langid,
@@ -340,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "stage_counts": oracle.q_stage_counts(),
         "http_sink_bodies": oracle.q_http_sink_bodies(),
         "union_sources": oracle.q_union_sources(),
+        "token_ngram_dup_stats": oracle.q_token_ngram_dup_stats(),
         "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})

@@ -250,6 +250,83 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+# token-level substring dedup (the tokens-native op: the north input table
+# IS tokenized sequences):
+TOKEN_NGRAM = 8  # token n-gram length (the dedup unit)
+# prime < 10^12 so token(<=50256) * pow stays far inside int64 in BOTH
+# engines; ~1e12 hash space over ~1e6 grams ≈ 0.5 expected collisions
+TOKEN_P = 999_999_999_989
+TOKEN_B = 1_000_003
+
+
+def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplication signal (the substring-dedup statistic an LLM
+    training pipeline computes before suffix-array dedup): for every
+    sequence, the fraction of its token 8-grams that also occur in ANOTHER
+    sequence.  Shape at scale: per-row narrow gram hashing (polynomial fold,
+    no token explosion until the gram key), ONE hash shuffle on the gram key
+    with map-side combine (like exact dedup), one join back — no all-pairs
+    anything.  Pure modular arithmetic (int64-safe) so the DuckDB twin
+    reproduces it bit-for-bit."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    seq = sequences_df(spark, sf_dir).select("doc_id", "tokens", "n_tok")
+    n_grams = F.greatest(F.col("n_tok") - (TOKEN_NGRAM - 1), F.lit(0))
+    pows = [pow(TOKEN_B, TOKEN_NGRAM - 1 - j, TOKEN_P) for j in range(TOKEN_NGRAM)]
+
+    def gram_hash(i: Column) -> Column:
+        # try_element_at: ANSI-safe — rows shorter than the gram width yield
+        # NULL grams, which the n_grams>0 guard below never emits
+        acc = F.lit(0).cast("bigint")
+        for j, p in enumerate(pows):
+            acc = (
+                acc + F.try_element_at(F.col("tokens"), i + j).cast("bigint") * p
+            ) % TOKEN_P
+        return acc
+
+    grams = seq.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash).alias(
+            "_g"
+        ),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.explode(
+            F.when(F.col("n_grams") > 0, F.col("_g")).otherwise(
+                F.slice(F.col("_g"), 1, 0)
+            )
+        ).alias("gram"),
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    dup_counts = (
+        grams.join(shared, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        seq.select("doc_id", n_grams.alias("n_grams"))
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.coalesce(F.col("n_dup_grams"), F.lit(0)) / F.col("n_grams"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_rate"),
+        )
+    )
+
+
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over whitespace words (word hash = stable md5-prefix).
     Per-row narrow work; near-dup candidates = equal simhash."""

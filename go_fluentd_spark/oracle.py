@@ -452,6 +452,43 @@ FROM rk GROUP BY CAST(floor((_rk - 1) / {batch_size}) AS BIGINT)""",
     )
 
 
+def q_token_ngram_dup_stats() -> str:
+    """Mirror of operators/dataprep.py::token_ngram_dup_stats (token-level
+    substring-dedup statistic over the sequence table)."""
+    from go_fluentd_spark.operators import dataprep as D
+
+    pows = [
+        pow(D.TOKEN_B, D.TOKEN_NGRAM - 1 - j, D.TOKEN_P) for j in range(D.TOKEN_NGRAM)
+    ]
+    fold = (
+        f"CAST(list_sum(list_transform(range(0, {D.TOKEN_NGRAM}), "
+        f"j -> CAST(tokens[CAST(i + j AS INT)] AS BIGINT) * ([{', '.join(map(str, pows))}])[j + 1] "
+        f"% {D.TOKEN_P})) % {D.TOKEN_P} AS BIGINT)"
+    )
+    body = f"""
+g0 AS (
+  SELECT doc_id, greatest(n_tok - {D.TOKEN_NGRAM - 1}, 0) AS n_grams, tokens FROM seq),
+grams AS (
+  SELECT doc_id, n_grams, UNNEST(list_transform(range(1, n_grams + 1), i -> {fold})) AS gram
+  FROM g0 WHERE n_grams > 0),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup_grams
+  FROM grams WHERE gram IN (SELECT gram FROM shared) GROUP BY doc_id)
+"""
+    return _with(
+        _SEQ_CTES,
+        body,
+        final=f"""SELECT g0.doc_id, g0.n_grams,
+       coalesce(dup.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN g0.n_grams > 0
+            THEN round(coalesce(dup.n_dup_grams, 0) * 1.0 / g0.n_grams, 4)
+            ELSE 0.0 END AS dup_rate
+FROM g0 LEFT JOIN dup ON dup.doc_id = g0.doc_id""",
+    )
+
+
 def q_union_sources() -> str:
     """Mirror of the multi-receiver channel merge (controllor.go wires every
     receiver into ONE acceptor stream; SURVEY §2.9 maps it to unionByName)."""

@@ -133,6 +133,18 @@ def test_ngram_blocks_bounded_on_skew(spark):
     assert n_cand <= 2 * n * window  # vs n*(n-1)/2 = 44850 unbounded
 
 
+def test_token_ngram_dup_stats_bounds(spark, sf_dir):
+    """Tokens-native dedup signal: rates bounded, counts consistent, and the
+    synthetic corpus genuinely contains cross-sequence token 8-gram overlap
+    (the arithmetic token generator creates aligned runs between some dids)."""
+    rows = DP.token_ngram_dup_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_grams <= max(r.n_grams, 0)
+        assert 0.0 <= r.dup_rate <= 1.0
+    assert any(r.n_dup_grams > 0 for r in rows), "corpus should contain dup grams"
+
+
 def test_winnowing_guarantee(spark, tmp_path):
     """The winnowing property (Schleimer et al.): two documents sharing a
     substring of length >= w + k - 1 chars MUST share at least one
