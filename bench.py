@@ -113,6 +113,7 @@ def main() -> None:
     timed("dataprep_minhash_lsh_pairs", lambda: DP.minhash_lsh_pairs(spark, sf_dir).count())
     timed("dataprep_embed_banded_pairs", lambda: DP.embed_banded_pairs(spark, sf_dir).count())
     timed("dataprep_winnow_fingerprints", lambda: _noop_sink(DP.winnow_fingerprints(spark, sf_dir)))
+    timed("dataprep_token_ngram_dup", lambda: DP.token_ngram_dup_stats(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     e2e = timings["pipeline_routed_materialize"]
