@@ -63,6 +63,52 @@ def test_decode_kafka_wire_bad_rows_discarded(spark):
     assert len(out) == 1 and out[0].doc_id == "d1" and out[0].tokens == [1, 2]
 
 
+def test_kafka_wire_stream_through_full_pipeline(spark, sf_dir, tmp_path):
+    """The kafka source feeds the REAL pipeline: wire decode -> ingest
+    columns (recovered from doc_id, same as the batch scan) -> acceptor ->
+    parse -> per-tag counts, as one streaming query.  The routed totals must
+    match the batch pipeline over the same rows (concat disabled on both
+    sides: kafka delivery order isn't the batch id order)."""
+    from go_fluentd_spark.config import DEFAULT_CONFIG
+    from go_fluentd_spark.operators.acceptor import acceptor_chain
+    from go_fluentd_spark.operators.parser import parse
+
+    src = str(tmp_path / "wire")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _wire_frame(spark, sf_dir).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(WIRE_SCHEMA).parquet(src)
+    decoded = with_ingest_columns(
+        decode_kafka_wire(stream).drop("tag", "kafka_ts")
+    )
+    chained = parse(acceptor_chain(decoded, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    q = (
+        chained.writeStream.foreachBatch(
+            lambda b, i: b.groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.tag: r.n
+        for r in spark.read.parquet(out).groupBy("tag").agg(F.sum("n").alias("n")).collect()
+    }
+    batch = parse(
+        acceptor_chain(
+            with_ingest_columns(sequences_df(spark, sf_dir)), DEFAULT_CONFIG
+        ),
+        DEFAULT_CONFIG,
+    )
+    expected = {r.tag: r.n for r in batch.groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expected
+
+
 def test_kafka_wire_stream(spark, sf_dir, tmp_path):
     """The decode runs UNCHANGED on a streaming frame: file-backed stream of
     wire rows -> decode -> per-tag counts, availableNow trigger."""
