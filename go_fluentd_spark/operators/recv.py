@@ -70,10 +70,13 @@ def kafka_json_decode(
     msg_key: str = "log",
     tag_key: str | None = "tag",
     default_tag: str = "kafkabuf.sit",
+    rewrite_tag: str | None = None,
 ) -> DataFrame:
     """KafkaRecv parse (``kafka.go:209-252``): JSON-decode the message body
     into a map column (declared-schema overflow), or stash the raw body
-    under ``msg_key``; tag from the JSON's tag key when present."""
+    under ``msg_key``; tag from the JSON's tag key when present.
+    ``rewrite_tag`` (kafka.go's RewriteTag option) force-overwrites the tag
+    regardless of the payload."""
     if is_json_format:
         m = F.from_json(F.col(value_col).cast("string"), schema)
         df = df.withColumn("msg", m)
@@ -82,10 +85,14 @@ def kafka_json_decode(
             if tag_key
             else F.lit(default_tag)
         )
-        return df.withColumn("tag", tag)
-    return df.withColumn(msg_key, F.col(value_col).cast("string")).withColumn(
-        "tag", F.lit(default_tag)
-    )
+        df = df.withColumn("tag", tag)
+    else:
+        df = df.withColumn(msg_key, F.col(value_col).cast("string")).withColumn(
+            "tag", F.lit(default_tag)
+        )
+    if rewrite_tag is not None:
+        df = df.withColumn("tag", F.lit(rewrite_tag))
+    return df
 
 
 def es_dispatch_retag(df: DataFrame, retag_map: dict[str, str]) -> DataFrame:

@@ -137,3 +137,14 @@ def test_kafka_wire_stream(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     n = got.agg(F.sum("n")).collect()[0][0]
     assert n == sequences_df(spark, sf_dir).count()
+
+
+def test_kafka_rewrite_tag(spark):
+    # kafka.go RewriteTag option: force-overwrites the tag regardless of payload
+    from go_fluentd_spark.operators.recv import kafka_json_decode
+
+    df = spark.createDataFrame(
+        [(b'{"tag": "orig.sit", "k": "v"}',)], "value binary"
+    )
+    out = kafka_json_decode(df, rewrite_tag="forced.prod").collect()[0]
+    assert out.tag == "forced.prod"
