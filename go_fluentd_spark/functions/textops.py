@@ -151,11 +151,31 @@ def flatten_json_map(c: Column, delimiter: str = "__", max_depth: int = 3) -> Co
             F.array(F.struct(e["key"].alias("key"), e["value"].alias("value")))
         )
 
+    def to_map_last_wins(entries: Column) -> Column:
+        # Flattening can COLLIDE with a literal key (payload {"a__b":"1",
+        # "a":{"b":"2"}} yields the key a__b twice); map_from_entries under
+        # Spark's default mapKeyDedupPolicy=EXCEPTION would abort the whole
+        # batch on one such (untrusted) log line.  The reference's FlattenMap
+        # assigns into one Go map (library/utils.go:75-85), i.e. overwrite —
+        # restated deterministically as LAST-entry-wins: fold the reversed
+        # entries keeping first occurrence per key, then restore order.
+        # Payload maps are small (dozens of keys), so the O(n^2) fold is
+        # noise; only lambda variables are referenced inside the lambdas (no
+        # re-evaluated outer expressions).
+        dedup = F.aggregate(
+            F.reverse(entries),
+            F.array().cast("array<struct<key:string,value:string>>"),
+            lambda acc, x: F.when(
+                F.exists(acc, lambda y: y["key"] == x["key"]), acc
+            ).otherwise(F.array_append(acc, x)),
+        )
+        return F.map_from_entries(F.reverse(dedup))
+
     m = F.from_json(c, "map<string,string>")
     for _ in range(max(max_depth - 1, 0)):
         m = F.when(
             m.isNotNull(),
-            F.map_from_entries(F.flatten(F.transform(F.map_entries(m), expand))),
+            to_map_last_wins(F.flatten(F.transform(F.map_entries(m), expand))),
         )
     return m
 

@@ -52,12 +52,17 @@ def decode_kafka_wire(
         tag_key=tag_key, default_tag=default_tag,
     )
     get = lambda k: F.try_element_at(F.col("msg"), F.lit(k))  # noqa: E731
+    # try_cast, not cast: under ANSI mode a poison message ("1,2,x" tokens or
+    # a non-numeric n_tok) would throw CAST_INVALID_INPUT and — because the
+    # stream re-reads the same offset on restart — wedge the source forever.
+    # kafka.go:226-233 logs and SKIPS undecodable messages; try_cast gives the
+    # same discard contract (bad element -> NULL, row survives decode).
     out = df.select(
         get("doc_id").alias("doc_id"),
         F.transform(
-            F.split(get("tokens_csv"), ","), lambda s: s.cast("int")
+            F.split(get("tokens_csv"), ","), lambda s: s.try_cast("int")
         ).alias("tokens"),
-        get("n_tok").cast("int").alias("n_tok"),
+        get("n_tok").try_cast("int").alias("n_tok"),
         get("source").alias("source"),
         F.col("tag"),
         F.col("timestamp").alias("kafka_ts"),

@@ -63,6 +63,24 @@ def test_decode_kafka_wire_bad_rows_discarded(spark):
     assert len(out) == 1 and out[0].doc_id == "d1" and out[0].tokens == [1, 2]
 
 
+def test_decode_kafka_wire_poison_numeric_fields(spark):
+    """ANSI mode: a non-numeric token / n_tok must DISCARD-to-NULL (try_cast),
+    not throw CAST_INVALID_INPUT — a throwing decode would wedge a restarted
+    stream on the same offset forever (kafka.go:226-233 logs and skips)."""
+    rows = [
+        (None, b'{"doc_id": "p1", "tag": "cp.sit", "tokens_csv": "1,2,x", "n_tok": "nope", "source": "s"}', "t", 0, 0),
+        (None, b'{"doc_id": "p2", "tag": "cp.sit", "tokens_csv": "3,4", "n_tok": "2", "source": "s"}', "t", 0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset bigint"
+    ).withColumn("timestamp", F.current_timestamp())
+    out = {r.doc_id: r for r in decode_kafka_wire(df).collect()}
+    assert set(out) == {"p1", "p2"}          # no exception, both rows survive
+    assert out["p1"].tokens == [1, 2, None]  # bad element nulled, not fatal
+    assert out["p1"].n_tok is None
+    assert out["p2"].tokens == [3, 4] and out["p2"].n_tok == 2
+
+
 def test_kafka_wire_stream_through_full_pipeline(spark, sf_dir, tmp_path):
     """The kafka source feeds the REAL pipeline: wire decode -> ingest
     columns (recovered from doc_id, same as the batch scan) -> acceptor ->

@@ -93,6 +93,24 @@ def test_flatten_json_map_edges(spark):
     assert out[2] == {"deep__a__b": '{"c":1}'}
 
 
+def test_flatten_json_map_colliding_keys_last_wins(spark):
+    # A flattened child key colliding with a literal key must NOT abort the
+    # batch (default mapKeyDedupPolicy=EXCEPTION would throw
+    # DUPLICATED_MAP_KEY); the reference's FlattenMap assigns into one Go map
+    # (library/utils.go:75-85) = overwrite, restated as deterministic
+    # last-entry-wins.
+    rows = [
+        ('{"a__b": "1", "a": {"b": "2"}}',),      # flatten collides w/ literal
+        ('{"a": {"b": "2"}, "a__b": "1"}',),      # same keys, opposite order
+        ('{"x": "1", "x": "2"}',),                # duplicate literal key
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = [r.m for r in df.select(flatten_json_map(F.col("j")).alias("m")).collect()]
+    assert out[0] == {"a__b": "2"}   # flattened child came after the literal
+    assert out[1] == {"a__b": "1"}   # literal came after the flattened child
+    assert out[2] == {"x": "2"}
+
+
 def test_env_substitute():
     # library/utils_test.go:112-135
     assert env_substitute("app.spring.{env}", "sit") == "app.spring.sit"
