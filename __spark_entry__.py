@@ -127,6 +127,8 @@ _DATAPREP = {
     "langid": DP.langid,
     "minhash_signatures": DP.minhash_signatures,
     "minhash_lsh_pairs": DP.minhash_lsh_pairs,
+    # bucket-hygiene audit for the capped band join (twin of embed_band_stats)
+    "minhash_band_stats": DP.minhash_band_stats,
     "ngram_jaccard_pairs": DP.ngram_jaccard_pairs,
     "simhash16": DP.simhash16,
     "embed_cosine_scores": DP.embed_cosine_scores,

