@@ -51,20 +51,33 @@ def http_sink_bodies(
     POST is I/O plumbing; the computational content — deterministic batch
     assembly + body serialization — is restated here and oracle-checked.
 
-    Batching: rows of the sink ordered by doc_id, ``batch_id = floor(rank /
-    batch_size)`` — deterministic, so the bodies are value-hash comparable.
-    At scale the row_number window partitions by tag first (one sender queue
-    per tag in the reference); here one global order keeps the oracle exact.
+    Batching: the rank window partitions by TAG (the reference runs one
+    sender queue per tag, ``senders/fluentd.go:54-209``), so each tag's rows
+    sort independently — at scale every tag is its own task instead of the
+    whole sink sorting in one; ``batch_id = floor(rank / batch_size)`` within
+    the tag.  Deterministic, so the bodies are value-hash comparable.
+
+    Null handling is EXPLICIT and mirrored in the oracle: msgid coalesces to
+    "" and n_tok to -1 before marshalling (``to_json`` would silently OMIT a
+    null field's key while the oracle's string concat would render text —
+    a silent divergence instead of a loud one).
     """
     from pyspark.sql import Window
 
     rows = routed.filter(F.col("sink") == sink)
-    rk = F.row_number().over(Window.partitionBy("sink").orderBy("doc_id"))
-    obj = F.to_json(F.struct("doc_id", "tag", "msgid", "n_tok"))
+    rk = F.row_number().over(Window.partitionBy("tag").orderBy("doc_id"))
+    obj = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("tag"),
+            F.coalesce(F.col("msgid"), F.lit("")).alias("msgid"),
+            F.coalesce(F.col("n_tok"), F.lit(-1)).alias("n_tok"),
+        )
+    )
     return (
         rows.withColumn("_rk", rk)
         .withColumn("batch_id", F.floor((F.col("_rk") - 1) / batch_size))
-        .groupBy("batch_id")
+        .groupBy("tag", "batch_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.concat(

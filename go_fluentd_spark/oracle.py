@@ -431,10 +431,14 @@ def q_http_sink_bodies(
     cfg: C.PipelineConfig = C.DEFAULT_CONFIG, sink: str = "fluentd_backup", batch_size: int = 100
 ) -> str:
     """Mirror of operators/dispatcher.py::http_sink_bodies (httpforward.go
-    batch marshalling); JSON built by concat to byte-match to_json."""
+    batch marshalling); JSON built by concat to byte-match to_json.  The rank
+    window partitions by TAG (one sender queue per tag in the reference);
+    nulls are coalesced EXPLICITLY on both sides (msgid -> '', n_tok -> -1) so
+    a null field diverges loudly, never silently (to_json omits null keys)."""
     obj = (
-        """'{"doc_id":"' || doc_id || '","tag":"' || tag || '","msgid":"' || msgid
-       || '","n_tok":' || CAST(n_tok AS VARCHAR) || '}'"""
+        """'{"doc_id":"' || doc_id || '","tag":"' || tag
+       || '","msgid":"' || coalesce(msgid, '')
+       || '","n_tok":' || CAST(coalesce(n_tok, -1) AS VARCHAR) || '}'"""
     )
     return _with(
         _SEQ_CTES,
@@ -443,12 +447,12 @@ def q_http_sink_bodies(
         _parsed_ctes(),
         _enriched_ctes(cfg),
         f"""rk AS (
-  SELECT *, row_number() OVER (PARTITION BY sink ORDER BY doc_id) AS _rk
+  SELECT *, row_number() OVER (PARTITION BY tag ORDER BY doc_id) AS _rk
   FROM routed WHERE sink = '{sink}')""",
-        final=f"""SELECT CAST(floor((_rk - 1) / {batch_size}) AS BIGINT) AS batch_id,
+        final=f"""SELECT tag, CAST(floor((_rk - 1) / {batch_size}) AS BIGINT) AS batch_id,
        count(*) AS n,
        '[' || string_agg({obj}, ',' ORDER BY _rk) || ']' AS body
-FROM rk GROUP BY CAST(floor((_rk - 1) / {batch_size}) AS BIGINT)""",
+FROM rk GROUP BY tag, CAST(floor((_rk - 1) / {batch_size}) AS BIGINT)""",
     )
 
 
