@@ -142,8 +142,11 @@ _DATAPREP = {
     # scale path: banded hyperplane signatures + per-bucket caps
     "embed_banded_pairs": DP.embed_banded_pairs,
     "embed_band_stats": DP.embed_band_stats,
-    # rows-only (genuinely non-SQL-expressible: seeded ITERATIVE MLlib
-    # KMeans fit); recall vs brute force pinned by pytest instead
+    # the REAL iterative k-means IVF — oracle-checked END TO END: the
+    # deterministic distributed Lloyd fit is unrolled in the DuckDB twin
+    # (fixed iterations + per-iteration rounding), so fit + assignment +
+    # probe + top-k all value-hash-match; the MLlib fit variant (k-means||
+    # init, not cross-engine deterministic) is pinned by recall pytest
     "embed_ivf_kmeans_topk": DP.embed_ivf_kmeans_topk,
 }
 

@@ -726,6 +726,7 @@ def embed_banded_pairs(
 
 IVF_K = 8  # coarse centroids
 IVF_PROBE = 2  # clusters searched per query
+IVF_LLOYD_ITERS = 3  # fixed Lloyd iterations for the deterministic k-means fit
 
 
 def _seed_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K) -> list[list[float]]:
@@ -752,6 +753,47 @@ def kmeans_centroids(
     )
     model = KMeans(k=k, seed=seed, maxIter=20).fit(train)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def lloyd_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    n_iter: int = IVF_LLOYD_ITERS,
+) -> list[list[float]]:
+    """Deterministic DISTRIBUTED Lloyd k-means fit, expressed in DataFrame
+    ops — the genuinely iterative index build, made oracle-mirrorable:
+
+    - init: first ``k`` vectors by vec_id (seeded, data-deterministic);
+    - each iteration: nearest-centroid assignment (centroids broadcast as
+      plan literals, one narrow pass over the big side — exactly the
+      production IVF assignment) then per-(cluster, dim) means via ONE
+      shuffled aggregate with map-side combine (k x EMB_DIM partial sums —
+      the canonical distributed Lloyd step, same shape MLlib uses);
+    - means are rounded to 4 decimals each iteration so cross-engine
+      float-sum ordering noise (~1e-12) cannot flip a later assignment —
+      the DuckDB oracle (oracle_dataprep.q_embed_ivf_kmeans_topk) unrolls
+      the SAME fixed iterations and rounds identically, making the whole
+      fit + probe + top-k value-hash checkable;
+    - an empty cluster keeps its previous centroid (deterministic on both
+      sides).
+
+    Only k x EMB_DIM means ever reach the driver per iteration."""
+    e = embs(spark, sf_dir).select("vec_id", "label", "embedding")
+    cents = _seed_centroids(spark, sf_dir, k)
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(e, cents)
+        means = assigned.groupBy("cluster").agg(
+            *[
+                F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+                for i in range(EMB_DIM)
+            ]
+        ).collect()
+        got = {
+            r.cluster: [round(r[f"c{i}"], 4) for i in range(EMB_DIM)] for r in means
+        }
+        cents = [got.get(cid, cents[cid]) for cid in range(k)]
+    return cents
 
 
 def _assign_to_centroids(e: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -833,12 +875,18 @@ def embed_ivf_kmeans_topk(
     k: int = 10,
     probe: int = IVF_PROBE,
     n_clusters: int = IVF_K,
+    fit: str = "lloyd",
 ) -> DataFrame:
-    """IVF-probed top-k with REAL k-means centroids behind the same contract
-    (the judge-visible production path; rows-only driver check — a seeded
-    iterative fit is not SQL-expressible).  Recall vs brute force is pinned
-    by tests/test_dataprep.py::test_ivf_kmeans_recall."""
-    cents = kmeans_centroids(spark, sf_dir, k=n_clusters)
+    """IVF-probed top-k with REAL iteratively-fit k-means centroids behind
+    the same contract.  ``fit="lloyd"`` (default) is the deterministic
+    distributed Lloyd fit — fully oracle-checked end-to-end (the DuckDB twin
+    unrolls the same fixed iterations, see lloyd_centroids); ``fit="mllib"``
+    swaps in the seeded MLlib fit (k-means|| init — not cross-engine
+    deterministic, so pinned by the recall pytest instead)."""
+    if fit == "lloyd":
+        cents = lloyd_centroids(spark, sf_dir, k=n_clusters)
+    else:
+        cents = kmeans_centroids(spark, sf_dir, k=n_clusters)
     q = embs(spark, sf_dir).orderBy("vec_id").limit(1).collect()[0]
     qv = [float(x) for x in q.embedding]
     e = _assign_to_centroids(embs(spark, sf_dir), cents)

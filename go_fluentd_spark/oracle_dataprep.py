@@ -358,8 +358,85 @@ r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
 SELECT vec_id, label, cid AS cluster FROM r WHERE rn = 1"""
 
 
+def _lloyd_ctes(k: int, n_iter: int) -> str:
+    """Unrolled deterministic Lloyd iterations, mirroring
+    operators/dataprep.py::lloyd_centroids: c0 = first k vectors by vec_id;
+    per iteration assignment (argmin squared distance, tie -> lowest cid,
+    identical left-to-right float accumulation order on both engines) then
+    per-(cluster, dim) means ROUNDED to 4 decimals (so cross-engine float-sum
+    ordering noise cannot flip a later assignment); empty clusters keep the
+    previous centroid.  Ends at CTE ``c{n_iter}(cid, cv)``."""
+    dim = D.EMB_DIM
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - (c.cv)[i])"
+    dist = f"list_sum(list_transform(range(1, {dim} + 1), i -> {diff} * {diff}))"
+    ctes = [
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}) t)"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM embeddings e, c{t - 1} c) s WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+  SELECT cluster, i, round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS v
+  FROM a{t}, range(1, {dim} + 1) r(i) GROUP BY cluster, i)"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cluster AS cid, list(v ORDER BY i) AS cv FROM m{t} GROUP BY cluster) n
+  USING (cid))"""
+        )
+    return ",\n".join(ctes)
+
+
+def q_embed_ivf_kmeans_topk(k: int = 10) -> str:
+    """End-to-end mirror of embed_ivf_kmeans_topk (fit="lloyd"): the ENTIRE
+    iterative k-means fit is unrolled as SQL (see _lloyd_ctes), then the
+    final assignment, centroid probe (query-to-centroid distance in the same
+    accumulation order as the Spark driver's Python sum), and total-order
+    top-k — zero rows-only checks left."""
+    dim, K, N = D.EMB_DIM, D.IVF_K, D.IVF_LLOYD_ITERS
+    cn = f"c{N}"
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - (c.cv)[i])"
+    dist = f"list_sum(list_transform(range(1, {dim} + 1), i -> {diff} * {diff}))"
+    qdiff = "(CAST(q.qv[i] AS DOUBLE) - (c.cv)[i])"
+    qdist = f"list_sum(list_transform(range(1, {dim} + 1), i -> {qdiff} * {qdiff}))"
+    dot = _dot("e.embedding", "q.qv")
+    na = f"sqrt({_dot('e.embedding', 'e.embedding')})"
+    nq = f"sqrt({_dot('q.qv', 'q.qv')})"
+    return f"""
+WITH {_lloyd_ctes(K, N)},
+assign AS (
+  SELECT vec_id, label, cluster FROM (
+    SELECT e.vec_id, e.label, c.cid AS cluster,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM embeddings e, {cn} c) s WHERE rn = 1),
+q AS (
+  SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+probe AS (
+  SELECT c.cid FROM {cn} c, q
+  ORDER BY {qdist}, c.cid
+  LIMIT {D.IVF_PROBE})
+SELECT e.vec_id, e.label, a.cluster, round({dot} / ({na} * {nq}), 4) AS cos
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probe p ON p.cid = a.cluster
+CROSS JOIN q
+ORDER BY cos DESC, e.vec_id LIMIT {k}"""
+
+
 ORACLES = {
     "embed_ivf_assign": q_embed_ivf_assign,
+    "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
     "embed_near_pairs": q_embed_near_pairs,
     "dedup_exact": q_dedup_exact,
     "fingerprints": q_fingerprints,
