@@ -173,6 +173,47 @@ def _q_http_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts_str")
 
 
+def _q_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTPRecv FULL source path (http.go:163-212): signature/window
+    validation -> JSON body decode -> FlattenMap to a__b keys -> tag stamp;
+    non-JSON bodies discarded.  The body is built deterministically from the
+    events row (nested object + one corrupt row in 97) so the flatten and
+    the discard are both exercised and oracle-checked."""
+    e = _events(spark, sf_dir)
+    ts_str = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    sig = F.when(
+        F.col("event_id") % 2 == 0,
+        F.md5(F.concat(ts_str, F.lit(oracle_recv.SALT))),
+    ).otherwise(F.lit("deadbeef"))
+    body = F.when(F.col("event_id") % 97 == 0, F.lit("not json")).otherwise(
+        F.concat(
+            F.lit('{"cnt": "'),
+            F.col("user_id").cast("string"),
+            F.lit('", "meta": {"type": "'),
+            F.col("event_type"),
+            F.lit('", "kk": "'),
+            F.get_json_object("props", "$.k"),
+            F.lit('"}}'),
+        )
+    )
+    df = e.select(
+        "event_id", ts_str.alias("ts_str"), sig.alias("sig"), body.alias("body")
+    )
+    out = RV.http_ingest(
+        df,
+        salt=oracle_recv.SALT,
+        not_before=oracle_recv.NOT_BEFORE,
+        not_after=oracle_recv.NOT_AFTER,
+    )
+    return out.select(
+        "event_id",
+        "tag",
+        F.try_element_at("msg", F.lit("cnt")).alias("cnt"),
+        F.try_element_at("msg", F.lit("meta__type")).alias("meta__type"),
+        F.try_element_at("msg", F.lit("meta__kk")).alias("meta__kk"),
+    )
+
+
 def _q_rsyslog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = RV.rsyslog_normalize(
         _events(spark, sf_dir), time_col="ts", shift_hours=8, msg_key="props"
@@ -285,7 +326,13 @@ def _q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag",
         "message",
     )
-    return seq.unionByName(kafka).unionByName(rsys)
+    http = _q_http_ingest(spark, sf_dir).select(
+        F.lit("http").alias("origin"),
+        F.concat(F.lit("h"), F.col("event_id").cast("string")).alias("msg_id"),
+        "tag",
+        F.col("cnt").alias("message"),
+    )
+    return seq.unionByName(kafka).unionByName(rsys).unionByName(http)
 
 
 def _q_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(
         {
             "http_validate": _wrap(_q_http_validate),
+            "http_ingest": _wrap(_q_http_ingest),
             "rsyslog_normalize": _wrap(_q_rsyslog_normalize),
             "es_retag_counts": _wrap(_q_es_retag_counts),
             "kafka_json_decode": _wrap(_q_kafka_json_decode),

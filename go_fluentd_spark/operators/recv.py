@@ -44,6 +44,31 @@ def http_validate(
     return df.filter(ok)
 
 
+def http_ingest(
+    df: DataFrame,
+    env: str = "sit",
+    tag: str = "httprecv",
+    body_col: str = "body",
+    **validate_kwargs,
+) -> DataFrame:
+    """HTTPRecv FULL source path (``internal/recvs/http.go:163-212``):
+    validate the request (:func:`http_validate`), JSON-decode the body into
+    the message map, FlattenMap nested objects to ``a__b`` keys
+    (``http.go:206`` calls the same FlattenMap as the parser), DISCARD
+    undecodable bodies (``http.go:174-178`` rejects non-JSON), and stamp the
+    tag as ``{tag}.{env}`` (the reference parses env + tag out of the URL
+    path, ``http.go:163-170``).  Feeds :func:`union_sources` like any other
+    receiver."""
+    from go_fluentd_spark.functions.textops import flatten_json_map
+
+    v = http_validate(df, body_col=body_col, **validate_kwargs)
+    return (
+        v.withColumn("msg", flatten_json_map(F.col(body_col)))
+        .filter(F.col("msg").isNotNull())
+        .withColumn("tag", F.lit(f"{tag}.{env}"))
+    )
+
+
 def rsyslog_normalize(
     df: DataFrame,
     time_col: str = "timestamp",

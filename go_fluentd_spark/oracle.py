@@ -496,14 +496,19 @@ FROM g0 LEFT JOIN dup ON dup.doc_id = g0.doc_id""",
 def q_union_sources() -> str:
     """Mirror of the multi-receiver channel merge (controllor.go wires every
     receiver into ONE acceptor stream; SURVEY §2.9 maps it to unionByName)."""
+    from go_fluentd_spark import oracle_recv
+
     return _with(
         _SEQ_CTES,
+        f"http_ok AS ({oracle_recv.q_http_ingest().strip()})",
         final="""SELECT 'fluentd' AS origin, doc_id AS msg_id, tag, source AS message FROM ingest
 UNION ALL
 SELECT 'kafka', 'k' || CAST(event_id AS VARCHAR), 'kafkabuf.sit',
        json_extract_string(props, '$.k') FROM events
 UNION ALL
-SELECT 'rsyslog', 'r' || CAST(event_id AS VARCHAR), 'emqtt.sit', props FROM events""",
+SELECT 'rsyslog', 'r' || CAST(event_id AS VARCHAR), 'emqtt.sit', props FROM events
+UNION ALL
+SELECT 'http', 'h' || CAST(event_id AS VARCHAR), tag, cnt FROM http_ok""",
     )
 
 
