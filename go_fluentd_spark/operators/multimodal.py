@@ -4,12 +4,13 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
 The Spark-side plumbing (schema, partitioning, UDF signatures, batch shapes)
 is real and tested.  Codecs:
 
-- ``decoder="real"`` REALLY decodes two standard container formats with the
-  Python stdlib — BMP (BITMAPINFOHEADER parse via ``struct``) and WAV
-  (RIFF/PCM via ``wave``) — extracting true dimensions/sample geometry and a
-  deterministic 8-dim feature.  Video (mp4) genuinely requires ffmpeg, which
-  this environment lacks: a video row under the real decoder raises
-  ``NotImplementedError`` (filter ``kind != 'video'`` first, or use "fake").
+- ``decoder="real"`` REALLY decodes three standard container formats with
+  the Python stdlib — BMP (BITMAPINFOHEADER parse via ``struct``), WAV
+  (RIFF/PCM via ``wave``), and MP4 metadata (ISO-BMFF box walk:
+  ftyp/moov/mvhd/tkhd -> duration, track dimensions; mdat -> deterministic
+  feature) — extracting true geometry and an 8-dim feature.  Pixel-level
+  decode of real video CODECS would need ffmpeg (absent here); container
+  METADATA does not, which is what 100 TB curation filters actually key on.
 - ``decoder="fake"`` is the deterministic stand-in (dimensions from the
   payload hash) for corpora whose payloads are arbitrary blobs.
 
@@ -116,6 +117,105 @@ def _make_wav(seed: int) -> tuple[bytes, int, int]:
     return buf.getvalue(), framerate, nframes
 
 
+#: unity transform matrix used by mvhd/tkhd (ISO/IEC 14496-12 §8.2.2 / §8.3.2)
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+_MP4_FPS = 25  # fixed frame rate: duration = n_frames * (timescale / fps)
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _make_mp4(seed: int) -> tuple[bytes, int, int, int]:
+    """Minimal REAL ISO-BMFF (mp4) container: ftyp + moov(mvhd + trak(tkhd))
+    + mdat, deterministic per-seed geometry — enough structure for any
+    standards-conforming metadata parser (duration, track dimensions)."""
+    width = 16 * (2 + seed % 15)
+    height = 16 * (2 + (seed // 5) % 15)
+    n_frames = 16 + seed % 48
+    timescale = 1000
+    duration = n_frames * (timescale // _MP4_FPS)
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4)                      # version + flags
+        + bytes(8)                    # creation + modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)      # volume 1.0
+        + bytes(10)                      # reserved
+        + _MP4_UNITY_MATRIX
+        + bytes(24)                      # pre_defined
+        + struct.pack(">I", 2),          # next_track_ID
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)   # version 0 + flags (enabled|in-movie)
+        + bytes(8)                    # creation + modification
+        + struct.pack(">I", 1)        # track_ID
+        + bytes(4)                    # reserved
+        + struct.pack(">I", duration)
+        + bytes(8)                    # reserved
+        + struct.pack(">hhHH", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed point
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    mdat = _mp4_box(
+        b"mdat", bytes((seed * 37 + i * 101) % 256 for i in range(16 * n_frames))
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + mdat, width, height, n_frames
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Walk sibling boxes in buf[start:end): yields (type, body_start, box_end)."""
+    off = start
+    while off + 8 <= end:
+        size, typ = struct.unpack_from(">I4s", buf, off)
+        if size < 8 or off + size > end:
+            raise ValueError("corrupt mp4 box")
+        yield typ, off + 8, off + size
+        off += size
+
+
+def _decode_mp4(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Metadata decode of an ISO-BMFF container with the stdlib: box walk to
+    mvhd (timescale, duration) and tkhd (16.16 track dims); the deterministic
+    8-dim feature comes from mdat strata means (no ffmpeg — pixel decode of
+    real codecs WOULD need it, container metadata does not)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an mp4 payload")
+    width = height = timescale = duration = 0
+    mdat = b""
+    for typ, s, e in _mp4_boxes(payload, 0, len(payload)):
+        if typ == b"moov":
+            for t2, s2, e2 in _mp4_boxes(payload, s, e):
+                if t2 == b"mvhd":
+                    timescale, duration = struct.unpack_from(">II", payload, s2 + 12)
+                elif t2 == b"trak":
+                    for t3, s3, e3 in _mp4_boxes(payload, s2, e2):
+                        if t3 == b"tkhd":
+                            w16, h16 = struct.unpack_from(">II", payload, e3 - 8)
+                            width, height = w16 >> 16, h16 >> 16
+        elif typ == b"mdat":
+            mdat = payload[s:e]
+    if not timescale:
+        raise ValueError("mp4 without mvhd")
+    n_frames = duration * _MP4_FPS // timescale
+    n = max(len(mdat) // 8, 1)
+    feature = [
+        round(
+            sum(mdat[k * n : (k + 1) * n])
+            / (255.0 * max(len(mdat[k * n : (k + 1) * n]), 1)),
+            4,
+        )
+        for k in range(8)
+    ]
+    return width, height, n_frames, feature
+
+
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
@@ -150,16 +250,13 @@ def _real_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]
         return _decode_bmp(payload)
     if kind == "audio":
         return _decode_wav(payload)
-    raise NotImplementedError(
-        "video decoding requires ffmpeg (not in this env); filter "
-        "kind != 'video' or use decoder='fake'"
-    )
+    return _decode_mp4(payload)
 
 
 def pack_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media table whose payloads are REAL containers: BMP for image rows,
-    WAV for audio rows (deterministic geometry from doc_id), opaque bytes
-    for video.  mapInPandas because container encoding is inherently per-row
+    WAV for audio rows, ISO-BMFF mp4 for video rows (deterministic geometry
+    from doc_id).  mapInPandas because container encoding is inherently per-row
     byte assembly; at scale this is the ingest step that wrote the blobs."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
 
@@ -176,7 +273,7 @@ def pack_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload, _, _ = _make_wav(seed)
                     mime = "audio/wav"
                 else:
-                    payload = hashlib.md5(str(seed).encode()).digest() * 4
+                    payload, _, _, _ = _make_mp4(seed)
                     mime = "video/mp4"
                 rows.append(
                     (

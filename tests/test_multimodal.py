@@ -1,10 +1,12 @@
 """Multimodal plumbing + codecs: schema, batch shape, deterministic fake
-decode, and the REAL stdlib BMP/WAV decode round-trip."""
+decode, and the REAL stdlib BMP/WAV/MP4 decode round-trip."""
 
 import pytest
 
 from go_fluentd_spark.operators.multimodal import (
+    _decode_mp4,
     _make_bmp,
+    _make_mp4,
     _make_wav,
     decode_features,
     frame_sample,
@@ -33,28 +35,31 @@ def test_decode_real_roundtrip(spark, sf_dir):
     """REAL containers through the REAL decoder: the stdlib BMP/WAV parse
     must recover the exact geometry the packer embedded, distributed via
     mapInPandas (Arrow batches of binary payloads)."""
-    media = pack_media_real(spark, sf_dir).filter("kind != 'video'").limit(60)
+    media = pack_media_real(spark, sf_dir).limit(90)
     got = {
         r.media_id: (r.kind, r.width, r.height, r.n_frames, r.feature)
         for r in decode_features(media, decoder="real").collect()
     }
-    assert got
+    assert got and {k for _, (k, *_) in got.items()} == {"image", "audio", "video"}
     for media_id, (kind, w, h, nf, feat) in got.items():
         seed = int(media_id[1:])
         if kind == "image":
             _, ew, eh = _make_bmp(seed)
             assert (w, h, nf) == (ew, eh, 1), media_id
-        else:
+        elif kind == "audio":
             _, efr, enf = _make_wav(seed)
             assert (w, h, nf) == (efr, 1, enf), media_id
+        else:
+            _, ew, eh, enf = _make_mp4(seed)
+            assert (w, h, nf) == (ew, eh, enf), media_id
         assert len(feat) == 8 and all(0.0 <= f <= 1.01 for f in feat)
 
 
-def test_decode_real_video_needs_ffmpeg(spark, sf_dir):
-    # mp4 genuinely requires ffmpeg (not in this env): documented limitation
-    df = pack_media_real(spark, sf_dir).filter("kind = 'video'").limit(1)
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        decode_features(df, decoder="real").collect()
+def test_decode_mp4_rejects_garbage():
+    with pytest.raises(ValueError):
+        _decode_mp4(b"\x00\x00\x00\x08junk" * 4)
+    with pytest.raises(ValueError):
+        _decode_mp4(b"")
 
 
 def test_frame_sample(spark, sf_dir):
