@@ -35,22 +35,58 @@ def stage_counts(
 ) -> DataFrame:
     """(stage, n) totals per pipeline stage + the discard audit.  ``routed``
     counts deliveries (rows x matching sinks), mirroring the reference's
-    producer counter which increments per send."""
-    parts = [
-        df_fn(spark, sf_dir, cfg).agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(name).alias("stage"), "n"
-        )
-        for name, df_fn in STAGES
+    producer counter which increments per send.
+
+    Single-materialization: the source is scanned ONCE — the concat frame is
+    cached (one scan + one concat-window shuffle fills it) and every stage
+    total derives from it: ``ingest`` is recovered as sum(n_merged) (each
+    ingested row lands in exactly one session, the conservation identity the
+    oracle re-checks independently), the acceptor/discard stages are narrow
+    predicates over the cache, and the parse frame is cached in turn so
+    ``parsed`` and ``routed`` (its broadcast fan-out) share one parse pass.
+    Counters are collected eagerly (monitor counters are driver-side state in
+    the reference too, monitor.go:19-42) and returned as a literal frame —
+    the oracle mirror recomputes every stage independently, so the identity
+    web stays hash-checked end-to-end."""
+    from go_fluentd_spark.operators.acceptor import acceptor_chain
+    from go_fluentd_spark.operators.dispatcher import route
+    from go_fluentd_spark.operators.enrich import add_fields, es_index, msgid
+    from go_fluentd_spark.operators.parser import parse
+    from go_fluentd_spark.operators.postfilter import post_default
+    from go_fluentd_spark.plans.pipeline import POST_STRING_COLS
+
+    conc = P.concatted(spark, sf_dir, cfg).persist()
+    try:
+        concat_n = conc.count()
+        ingest_n = int(conc.agg(F.sum("n_merged")).collect()[0][0])
+        accepted = acceptor_chain(conc, cfg)
+        accepted_n = accepted.count()
+        par = parse(accepted, cfg).persist()
+        try:
+            parsed_n = par.count()
+            enr = msgid(
+                es_index(
+                    spark,
+                    post_default(add_fields(spark, par, cfg), cfg, msg_cols=POST_STRING_COLS),
+                    cfg,
+                ),
+                cfg,
+            )
+            routed_n = route(spark, enr, cfg).count()
+        finally:
+            par.unpersist()
+        discarded_n = discard_reasons(conc, cfg).count()
+    finally:
+        conc.unpersist()
+    rows = [
+        ("ingest", ingest_n),
+        ("concat", concat_n),
+        ("accepted", accepted_n),
+        ("parsed", parsed_n),
+        ("routed", routed_n),
+        ("discarded", discarded_n),
     ]
-    discarded = (
-        discard_reasons(P.concatted(spark, sf_dir, cfg), cfg)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("discarded").alias("stage"), "n")
-    )
-    out = parts[0]
-    for p in parts[1:] + [discarded]:
-        out = out.unionByName(p)
-    return out
+    return spark.createDataFrame(rows, "stage string, n bigint")
 
 
 def stage_metrics(
