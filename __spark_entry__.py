@@ -122,6 +122,8 @@ _DATAPREP = {
     "winnow_fingerprints": DP.winnow_fingerprints,
     # tokens-NATIVE dedup signal over the sequence table itself
     "token_ngram_dup_stats": DP.token_ngram_dup_stats,
+    # tokens-NATIVE training-window chunking (zero-shuffle narrow explode)
+    "sequence_chunks": DP.sequence_chunks,
     "token_stats": DP.token_stats,
     "quality_scores": DP.quality_scores,
     "langid": DP.langid,
@@ -130,6 +132,9 @@ _DATAPREP = {
     # bucket-hygiene audit for the capped band join (twin of embed_band_stats)
     "minhash_band_stats": DP.minhash_band_stats,
     "ngram_jaccard_pairs": DP.ngram_jaccard_pairs,
+    # connected components over the LSH pairs (deterministic unrolled
+    # min-label propagation) — cluster id + representative per doc
+    "dedup_clusters": DP.dedup_clusters,
     "simhash16": DP.simhash16,
     "embed_cosine_scores": DP.embed_cosine_scores,
     "embed_lsh_buckets": DP.embed_lsh_buckets,
@@ -396,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "http_sink_bodies": oracle.q_http_sink_bodies(),
         "union_sources": oracle.q_union_sources(),
         "token_ngram_dup_stats": oracle.q_token_ngram_dup_stats(),
+        "sequence_chunks": oracle.q_sequence_chunks(),
         "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})

@@ -218,6 +218,50 @@ def minhash_lsh_pairs(
     return verified
 
 
+DEDUP_CC_ITERS = 3  # fixed min-label-propagation rounds (measured: 1 suffices)
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, n_iter: int = DEDUP_CC_ITERS
+) -> DataFrame:
+    """Near-dup CLUSTER formation — the dedup endgame downstream of pairs:
+    connected components over the (capped, verified) MinHash LSH pairs via
+    deterministic min-label propagation, unrolled a FIXED number of rounds so
+    the DuckDB oracle mirrors the whole iteration (same pattern as
+    lloyd_centroids).  label(v) <- min label over neighbors ∪ self; near-dup
+    clusters have tiny diameters (measured: converged after round 1 at
+    sf0.1), n_iter=3 adds margin and the pytest asserts the fixed point.
+
+    Scale shape: per round ONE shuffle of |E| = 2|pairs| + |V| edge rows with
+    map-side min-combine — the textbook distributed CC loop; no driver-side
+    graph.  Output: every doc with its cluster id (min doc_id in the
+    component), cluster size, and whether it is the kept representative."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_doc", "b_doc")
+    d = docs(spark, sf_dir).select("doc_id")
+    edges = (
+        pairs.select(F.col("a_doc").alias("src"), F.col("b_doc").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_doc").alias("src"), F.col("a_doc").alias("dst"))
+        )
+        .unionByName(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(n_iter):
+        labels = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .withColumnRenamed("src", "doc_id")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_sz"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id",
+        F.col("lbl").alias("cluster"),
+        "cluster_sz",
+        (F.col("doc_id") == F.col("lbl")).cast("int").alias("is_rep"),
+    )
+
+
 def ngram_candidate_blocks(d: DataFrame, window: int = NGRAM_RANK_WINDOW) -> DataFrame:
     """Bounded blocking for n-gram Jaccard: (lang, length-bucket) blocks with
     the two-bucket trick (boundary pairs survive), then a SORTED-NEIGHBOURHOOD
@@ -363,6 +407,43 @@ def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("dup_rate"),
         )
+    )
+
+
+SEQ_CHUNK_LEN = 64  # training-window length in tokens
+
+
+def sequence_chunks(
+    spark: SparkSession, sf_dir: str, chunk_len: int = SEQ_CHUNK_LEN
+) -> DataFrame:
+    """Training-window chunking over the SEQUENCE table (the step an LLM
+    data pipeline runs before batch assembly): each sequence's tokens split
+    into consecutive windows of ``chunk_len`` tokens, last window partial.
+    Shape at scale: pure per-row narrow explode (ceil(n_tok/chunk_len) chunk
+    rows per sequence) — ZERO shuffles, runs entirely map-side; the chunk
+    payload is sliced from the packed token array, never token-exploded."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    seq = sequences_df(spark, sf_dir).select("doc_id", "tokens", "n_tok")
+    n_chunks = F.ceil(F.col("n_tok") / F.lit(chunk_len))
+    c = seq.select(
+        "doc_id",
+        "tokens",
+        "n_tok",
+        F.explode(
+            F.when(
+                F.col("n_tok") > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("tokens"), (F.col("chunk_id") * chunk_len + 1).cast("int"), chunk_len
+    )
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tok"),
+        F.array_join(piece, ",").alias("tokens_csv"),
     )
 
 

@@ -456,6 +456,29 @@ FROM rk GROUP BY tag, CAST(floor((_rk - 1) / {batch_size}) AS BIGINT)""",
     )
 
 
+def q_sequence_chunks() -> str:
+    """Mirror of operators/dataprep.py::sequence_chunks (training-window
+    chunking over the sequence table)."""
+    from go_fluentd_spark.operators import dataprep as D
+
+    L = D.SEQ_CHUNK_LEN
+    piece = f"list_slice(tokens, CAST(chunk_id * {L} + 1 AS BIGINT), CAST(chunk_id * {L} + {L} AS BIGINT))"
+    body = f"""
+c AS (
+  SELECT doc_id, tokens,
+    UNNEST(range(0, CAST(ceil(n_tok * 1.0 / {L}) AS BIGINT))) AS chunk_id
+  FROM seq WHERE n_tok > 0)
+"""
+    return _with(
+        _SEQ_CTES,
+        body,
+        final=f"""SELECT doc_id, chunk_id,
+       len({piece}) AS n_chunk_tok,
+       array_to_string({piece}, ',') AS tokens_csv
+FROM c""",
+    )
+
+
 def q_token_ngram_dup_stats() -> str:
     """Mirror of operators/dataprep.py::token_ngram_dup_stats (token-level
     substring-dedup statistic over the sequence table)."""

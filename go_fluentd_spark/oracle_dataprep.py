@@ -159,6 +159,33 @@ WHERE round(len(list_filter(sa.s, x -> list_contains(sb.s, x))) * 1.0
         / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) >= {D.JACCARD_TAU}"""
 
 
+def q_dedup_clusters() -> str:
+    """Mirror of dedup_clusters: the SAME fixed min-label-propagation rounds
+    unrolled as CTEs over the capped LSH pairs."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, D.DEDUP_CC_ITERS + 1):
+        rounds.append(
+            f"""l{t} AS (
+  SELECT e.src AS doc_id, min(p.lbl) AS lbl
+  FROM edges e JOIN {prev} p ON p.doc_id = e.dst GROUP BY e.src)"""
+        )
+        prev = f"l{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pairs AS ({q_minhash_lsh_pairs().strip()}),
+edges AS (
+  SELECT a_doc AS src, b_doc AS dst FROM pairs
+  UNION ALL SELECT b_doc, a_doc FROM pairs
+  UNION ALL SELECT doc_id, doc_id FROM documents),
+l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+{rounds_sql},
+sizes AS (SELECT lbl, count(*) AS cluster_sz FROM {prev} GROUP BY lbl)
+SELECT f.doc_id, f.lbl AS cluster, s.cluster_sz,
+  CAST(f.doc_id = f.lbl AS INT) AS is_rep
+FROM {prev} f JOIN sizes s USING (lbl)"""
+
+
 def q_ngram_jaccard_pairs() -> str:
     W = D.NGRAM_RANK_WINDOW
     return f"""
@@ -446,6 +473,7 @@ ORACLES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_band_stats": q_minhash_band_stats,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash16": q_simhash16,
     "embed_cosine_scores": q_embed_cosine_scores,

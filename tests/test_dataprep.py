@@ -54,6 +54,56 @@ def test_minhash_band_cap_bounds_join_groups(spark):
     assert overflow > 0
 
 
+def test_sequence_chunks_reassemble(spark, sf_dir):
+    """Chunking must be lossless: concatenating a sequence's chunks in
+    chunk_id order reproduces the original token stream; all chunks but the
+    last are exactly SEQ_CHUNK_LEN tokens."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    orig = {
+        r.doc_id: ",".join(str(t) for t in r.tokens)
+        for r in sequences_df(spark, sf_dir).limit(200).collect()
+    }
+    chunks = (
+        DP.sequence_chunks(spark, sf_dir)
+        .filter(F.col("doc_id").isin(list(orig)))
+        .collect()
+    )
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert ",".join(r.tokens_csv for r in rows) == orig[doc_id]
+        assert all(r.n_chunk_tok == DP.SEQ_CHUNK_LEN for r in rows[:-1])
+        assert 1 <= rows[-1].n_chunk_tok <= DP.SEQ_CHUNK_LEN
+
+
+def test_dedup_clusters_fixed_point_and_cover(spark, sf_dir):
+    """Min-label propagation must have CONVERGED within the fixed rounds
+    (one extra round changes nothing), every verified pair must land in one
+    cluster, and representatives must cover the corpus exactly."""
+    base = {
+        r.doc_id: r.cluster for r in DP.dedup_clusters(spark, sf_dir).collect()
+    }
+    extra = {
+        r.doc_id: r.cluster
+        for r in DP.dedup_clusters(
+            spark, sf_dir, n_iter=DP.DEDUP_CC_ITERS + 1
+        ).collect()
+    }
+    assert base == extra  # fixed point reached inside the unrolled rounds
+    for r in DP.minhash_lsh_pairs(spark, sf_dir).collect():
+        assert base[r.a_doc] == base[r.b_doc]
+    clusters = DP.dedup_clusters(spark, sf_dir)
+    n_docs = DP.docs(spark, sf_dir).count()
+    agg = clusters.filter("is_rep = 1").agg(
+        F.sum("cluster_sz").alias("covered"), F.count("*").alias("n_reps")
+    ).collect()[0]
+    assert agg.covered == n_docs  # every doc in exactly one rep's cluster
+    assert clusters.count() == n_docs
+    assert agg.n_reps < n_docs  # the corpus really has near-dup groups
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     exact = [r.vec_id for r in DP.embed_topk(spark, sf_dir, k=10).collect()]
     approx = [r.vec_id for r in DP.embed_ivf_topk(spark, sf_dir, k=10).collect()]
