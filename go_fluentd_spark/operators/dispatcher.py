@@ -10,8 +10,6 @@ writes from one cached frame (no join, each write's predicate pushed down).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_fluentd_spark.config import MUST_INCLUDE_FIELDS, PipelineConfig, sink_tag_rows
@@ -95,15 +93,22 @@ def write_sinks(
     cfg: PipelineConfig,
     out_dir: str,
     salt_buckets: int = 0,
+    writer=None,
 ) -> dict[str, str]:
-    """Physical fan-out: per-sink parquet tables (the Iceberg-table stand-in;
-    each write is atomic-by-directory, see plans/manifest.py for commits).
+    """Physical fan-out: per-sink tables through the ``sources.writer`` seam
+    — default :class:`ParquetDirWriter` (atomic-by-directory, see
+    plans/manifest.py for commits); pass ``IcebergWriter(catalog)`` on a
+    cluster with the Iceberg runtime and NOTHING else changes.
 
     One cached parsed frame, N filtered writes (producer.go:223-329).  Hot-tag
     skew (one tag can be ~100% of traffic, quickstart.md:122-127) is defused
     by salting the repartition key: (tag, pmod(xxhash64(doc_id), S)) — the
     explicit skew handling required at 10^12-row scale.
     """
+    from go_fluentd_spark.sources.writer import ParquetDirWriter
+
+    if writer is None:
+        writer = ParquetDirWriter(out_dir)
     df = df.persist()
     paths: dict[str, str] = {}
     try:
@@ -133,9 +138,7 @@ def write_sinks(
                     F.col("tag"),
                     F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)),
                 )
-            path = os.path.join(out_dir, f"sink={sink.name}")
-            part.write.mode("overwrite").partitionBy("tag").parquet(path)
-            paths[sink.name] = path
+            paths[sink.name] = writer.write(part, sink.name, ("tag",))
     finally:
         df.unpersist()
     return paths
