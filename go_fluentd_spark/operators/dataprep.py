@@ -244,6 +244,12 @@ def dedup_clusters(
             pairs.select(F.col("b_doc").alias("src"), F.col("a_doc").alias("dst"))
         )
         .unionByName(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        # materialize the edge list ONCE: every propagation round joins it,
+        # and without lineage truncation the whole LSH pair pipeline
+        # (signatures -> band join -> jaccard verify) re-executes per round
+        # (measured: 61 parquet scans in the adaptive plan) — at scale you
+        # checkpoint the edge table before iterating, same as here
+        .localCheckpoint()
     )
     labels = d.select("doc_id", F.col("doc_id").alias("lbl"))
     for _ in range(n_iter):
