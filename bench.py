@@ -111,9 +111,11 @@ def main() -> None:
     from go_fluentd_spark.operators import dataprep as DP
 
     timed("dataprep_minhash_lsh_pairs", lambda: DP.minhash_lsh_pairs(spark, sf_dir).count())
+    timed("dataprep_dedup_clusters", lambda: DP.dedup_clusters(spark, sf_dir).count())
     timed("dataprep_embed_banded_pairs", lambda: DP.embed_banded_pairs(spark, sf_dir).count())
     timed("dataprep_winnow_fingerprints", lambda: _noop_sink(DP.winnow_fingerprints(spark, sf_dir)))
     timed("dataprep_token_ngram_dup", lambda: DP.token_ngram_dup_stats(spark, sf_dir).count())
+    timed("dataprep_sequence_chunks", lambda: DP.sequence_chunks(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     e2e = timings["pipeline_routed_materialize"]
@@ -146,7 +148,7 @@ def main() -> None:
         # (BENCH.md methodology).
         n_low, n_high = 2, 8
         srep = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "8"))
-        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2"))
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
         pairs = []
         for _ in range(n_pairs):
             # best-of-2 per leg (vs the tool's standalone best-of-3): bounds
@@ -171,7 +173,20 @@ def main() -> None:
             "rows": pairs[0]["low"]["rows"],
             "best_leg_efficiency": round(best_eff, 3),
             "median_efficiency": median_eff,
+            "all_efficiencies": effs,
         }
+        # SAME-DAY HOST CONTROL: aggregate pinned-memcpy bandwidth at the
+        # same 2 vs 8 parallelism — the DRAM ceiling a memory-bound job
+        # cannot exceed on this shared VM.  If the pipeline's efficiency
+        # tracks this ceiling, the residual gap to 1.0 is the host, not the
+        # code (see BENCH.md "Scaling" for the full methodology).
+        from tools.host_probe import probe
+
+        hc = probe(n_low, n_high, seconds=3.0)
+        result["host_control"] = hc
+        result["scaling_pairs"]["efficiency_vs_host_ceiling"] = round(
+            best_eff / hc["memcpy_efficiency"], 3
+        )
     print(json.dumps(result))
 
 
