@@ -124,6 +124,10 @@ _DATAPREP = {
     "token_ngram_dup_stats": DP.token_ngram_dup_stats,
     # tokens-NATIVE training-window chunking (zero-shuffle narrow explode)
     "sequence_chunks": DP.sequence_chunks,
+    # token-vocabulary frequency/rank/coverage table (tokenizer-bounded)
+    "token_vocab_topk": DP.token_vocab_topk,
+    # PII detection + redaction hygiene pass (counts + cleaned-text hash)
+    "pii_scrub": DP.pii_scrub,
     "token_stats": DP.token_stats,
     "quality_scores": DP.quality_scores,
     "langid": DP.langid,
@@ -402,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "union_sources": oracle.q_union_sources(),
         "token_ngram_dup_stats": oracle.q_token_ngram_dup_stats(),
         "sequence_chunks": oracle.q_sequence_chunks(),
+        "token_vocab_topk": oracle.q_token_vocab_topk(),
         "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})

@@ -416,6 +416,95 @@ def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- PII / boilerplate scrubbing (regexes restricted to the RE2-compatible
+# subset both engines share: char classes + bounded reps, no lookaround) ----
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_LONGNUM_RE = r"\d{6,}"
+
+
+def pii_scrub_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII/noise scrub: count then redact emails, URLs, and
+    long digit runs (account/phone-number shaped) — the standard hygiene
+    pass before a corpus ships to training.  Pure per-row Column work
+    (regexp_count + chained regexp_replace): narrow, zero shuffles, scales
+    embarrassingly.  Counts are taken BEFORE redaction; replacement order
+    email -> URL -> number is fixed so the cleaned text is deterministic."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_URL_RE, "<URL>"
+        ),
+        PII_LONGNUM_RE,
+        "<NUM>",
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).cast("bigint").alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_LONGNUM_RE)).cast("bigint").alias("n_longnums"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for :func:`pii_scrub_stats`: a deterministic 1-in-3 of
+    the docs gets synthetic PII appended (email + URL + 10-digit number
+    derived from doc_id — the corpus itself is clean), so both the detection
+    counts and the redacted-text hash are exercised and oracle-checked."""
+    d = docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did,
+            F.lit("@example.com see https://ex.com/d/"),
+            did,
+            F.lit(" ref 9876543210"),
+        ),
+    ).otherwise(F.col("text"))
+    return pii_scrub_stats(d.select("doc_id", injected.alias("text")))
+
+
+TOP_VOCAB_K = 100  # rank cutoff for the vocab coverage table
+
+
+def token_vocab_topk(spark: SparkSession, sf_dir: str, k: int = TOP_VOCAB_K) -> DataFrame:
+    """Token-vocabulary statistics over the SEQUENCE table: per-token corpus
+    frequency, rank, and cumulative coverage share for the top-k tokens —
+    the vocab-coverage diagnostic a tokenizer/corpus pairing is judged by.
+    Shape at scale: one explode + ONE hash shuffle with map-side combine
+    down to |vocab| rows; the global rank window then runs over the vocab
+    table, whose size is bounded by the TOKENIZER (~50k-200k ids), not the
+    corpus — constant-size regardless of corpus rows."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    seq = sequences_df(spark, sf_dir).select(
+        F.explode("tokens").alias("token")
+    )
+    counts = seq.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counts.select(
+        F.col("token").cast("bigint").alias("token"),
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
 SEQ_CHUNK_LEN = 64  # training-window length in tokens
 
 

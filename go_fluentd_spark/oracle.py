@@ -479,6 +479,28 @@ FROM c""",
     )
 
 
+def q_token_vocab_topk() -> str:
+    """Mirror of operators/dataprep.py::token_vocab_topk."""
+    from go_fluentd_spark.operators import dataprep as D
+
+    body = """
+tok AS (SELECT UNNEST(tokens) AS token FROM seq),
+vc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+r AS (
+  SELECT CAST(token AS BIGINT) AS token, cnt,
+    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+    sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc),
+t AS (SELECT sum(cnt) AS total FROM vc)
+"""
+    return _with(
+        _SEQ_CTES,
+        body,
+        final=f"""SELECT token, cnt, rank, round(cum * 1.0 / total, 6) AS cum_share
+FROM r, t WHERE rank <= {D.TOP_VOCAB_K}""",
+    )
+
+
 def q_token_ngram_dup_stats() -> str:
     """Mirror of operators/dataprep.py::token_ngram_dup_stats (token-level
     substring-dedup statistic over the sequence table)."""

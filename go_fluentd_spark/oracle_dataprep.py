@@ -186,6 +186,32 @@ SELECT f.doc_id, f.lbl AS cluster, s.cluster_sz,
 FROM {prev} f JOIN sizes s USING (lbl)"""
 
 
+def q_pii_scrub() -> str:
+    """Mirror of dataprep.pii_scrub (+_stats): same 1-in-3 injection, same
+    RE2-subset regexes, counts before redaction, same replacement order."""
+    em, url, num = D.PII_EMAIL_RE, D.PII_URL_RE, D.PII_LONGNUM_RE
+    cleaned = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{em}', '<EMAIL>', 'g'), '{url}', '<URL>', 'g'), "
+        f"'{num}', '<NUM>', 'g')"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com see https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+              || ' ref 9876543210'
+         ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{url}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{num}')) AS BIGINT) AS n_longnums,
+  md5({cleaned}) AS clean_md5
+FROM t"""
+
+
 def q_ngram_jaccard_pairs() -> str:
     W = D.NGRAM_RANK_WINDOW
     return f"""
@@ -474,6 +500,7 @@ ORACLES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_band_stats": q_minhash_band_stats,
     "dedup_clusters": q_dedup_clusters,
+    "pii_scrub": q_pii_scrub,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash16": q_simhash16,
     "embed_cosine_scores": q_embed_cosine_scores,

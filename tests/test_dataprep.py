@@ -54,6 +54,34 @@ def test_minhash_band_cap_bounds_join_groups(spark):
     assert overflow > 0
 
 
+def test_pii_scrub_stats_redaction(spark):
+    rows = [
+        (1, "mail a.b-c@foo.org and x@y.io plus https://a/b?q=1 tail"),
+        (2, "digits 123456789 twice 000000 but not 12345"),
+        (3, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in DP.pii_scrub_stats(df).collect()}
+    import hashlib
+
+    assert (out[1].n_emails, out[1].n_urls, out[1].n_longnums) == (2, 1, 0)
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_longnums) == (0, 0, 2)
+    assert (out[3].n_emails, out[3].n_urls, out[3].n_longnums) == (0, 0, 0)
+    assert out[1].clean_md5 == hashlib.md5(
+        b"mail <EMAIL> and <EMAIL> plus <URL> tail"
+    ).hexdigest()
+    assert out[3].clean_md5 == hashlib.md5(b"clean text only").hexdigest()
+
+
+def test_token_vocab_topk_coverage(spark, sf_dir):
+    rows = DP.token_vocab_topk(spark, sf_dir).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:])) and shares[-1] <= 1.0
+
+
 def test_sequence_chunks_reassemble(spark, sf_dir):
     """Chunking must be lossless: concatenating a sequence's chunks in
     chunk_id order reproduces the original token stream; all chunks but the
