@@ -259,6 +259,10 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .withColumnRenamed("src", "doc_id")
         )
+    return _finish_clusters(labels)
+
+
+def _finish_clusters(labels: DataFrame) -> DataFrame:
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_sz"))
     return labels.join(sizes, "lbl").select(
         "doc_id",
@@ -266,6 +270,48 @@ def dedup_clusters(
         "cluster_sz",
         (F.col("doc_id") == F.col("lbl")).cast("int").alias("is_rep"),
     )
+
+
+def dedup_clusters_converged(
+    spark: SparkSession, sf_dir: str, max_iter: int = 50
+) -> DataFrame:
+    """PRODUCTION variant of :func:`dedup_clusters`: iterate min-label
+    propagation to the FIXED POINT (per-round changed-count check, one extra
+    cheap aggregate) instead of a fixed unroll — correct for arbitrarily long
+    near-dup chains a 100 TB corpus can contain.  The round count is
+    data-dependent (not SQL-unrollable), so this variant is pinned by pytest
+    equality against the oracle-checked unrolled twin on testdata rather
+    than by a DuckDB mirror.  Each round checkpoints its (small) label frame
+    so lineage stays flat across arbitrarily many rounds."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_doc", "b_doc")
+    d = docs(spark, sf_dir).select("doc_id")
+    edges = (
+        pairs.select(F.col("a_doc").alias("src"), F.col("b_doc").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_doc").alias("src"), F.col("a_doc").alias("dst"))
+        )
+        .unionByName(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    for _ in range(max_iter):
+        nxt = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .withColumnRenamed("src", "doc_id")
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("p"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("p.lbl"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return _finish_clusters(labels)
 
 
 def ngram_candidate_blocks(d: DataFrame, window: int = NGRAM_RANK_WINDOW) -> DataFrame:

@@ -130,6 +130,12 @@ def test_dedup_clusters_fixed_point_and_cover(spark, sf_dir):
     assert agg.covered == n_docs  # every doc in exactly one rep's cluster
     assert clusters.count() == n_docs
     assert agg.n_reps < n_docs  # the corpus really has near-dup groups
+    # the production fixed-point variant must agree with the unrolled twin
+    conv = {
+        r.doc_id: r.cluster
+        for r in DP.dedup_clusters_converged(spark, sf_dir).collect()
+    }
+    assert conv == base
 
 
 def test_ivf_topk_recall(spark, sf_dir):
