@@ -116,6 +116,8 @@ def main() -> None:
     timed("dataprep_winnow_fingerprints", lambda: _noop_sink(DP.winnow_fingerprints(spark, sf_dir)))
     timed("dataprep_token_ngram_dup", lambda: DP.token_ngram_dup_stats(spark, sf_dir).count())
     timed("dataprep_sequence_chunks", lambda: DP.sequence_chunks(spark, sf_dir).count())
+    timed("dataprep_pii_scrub", lambda: DP.pii_scrub(spark, sf_dir).count())
+    timed("dataprep_token_vocab_topk", lambda: DP.token_vocab_topk(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     e2e = timings["pipeline_routed_materialize"]
