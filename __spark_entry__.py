@@ -128,6 +128,8 @@ _DATAPREP = {
     "token_vocab_topk": DP.token_vocab_topk,
     # PII detection + redaction hygiene pass (counts + cleaned-text hash)
     "pii_scrub": DP.pii_scrub,
+    # the shipped end-to-end curation decision (rep ∧ quality ∧ lang)
+    "corpus_curation": DP.corpus_curation,
     "token_stats": DP.token_stats,
     "quality_scores": DP.quality_scores,
     "langid": DP.langid,

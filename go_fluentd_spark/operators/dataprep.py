@@ -551,6 +551,32 @@ def token_vocab_topk(spark: SparkSession, sf_dir: str, k: int = TOP_VOCAB_K) -> 
     )
 
 
+CURATION_MIN_QUALITY = 0.5  # keep bar for the curation decision
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus CURATION decision — the query a training-data
+    pipeline actually ships: keep a document iff it is its near-dup
+    cluster's representative AND its quality score clears the bar AND the
+    language ID is confident.  One row per doc with the keep flag and every
+    contributing signal, so rejects are auditable by reason.  Shape at
+    scale: three per-doc signal tables (each already scale-shaped) joined on
+    the doc key — co-partitioned hash joins, no new skew surface."""
+    reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster", "is_rep")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality")
+    lang = langid(spark, sf_dir).select("doc_id", "lang_pred")
+    out = reps.join(q, "doc_id").join(lang, "doc_id")
+    keep = (
+        (F.col("is_rep") == 1)
+        & (F.col("quality") >= CURATION_MIN_QUALITY)
+        & (F.col("lang_pred") != "unknown")
+    )
+    return out.select(
+        "doc_id", "cluster", "is_rep", "quality", "lang_pred",
+        keep.cast("int").alias("keep"),
+    )
+
+
 SEQ_CHUNK_LEN = 64  # training-window length in tokens
 
 

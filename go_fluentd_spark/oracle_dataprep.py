@@ -212,6 +212,19 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_corpus_curation() -> str:
+    """Mirror of dataprep.corpus_curation: compose the cluster, quality, and
+    language CTEs and apply the same keep rule."""
+    return f"""
+WITH cl AS ({q_dedup_clusters().strip()}),
+q AS ({q_quality_scores().strip()}),
+l AS ({q_langid().strip()})
+SELECT cl.doc_id, cl.cluster, cl.is_rep, q.quality, l.lang_pred,
+  CAST(cl.is_rep = 1 AND q.quality >= {D.CURATION_MIN_QUALITY}
+       AND l.lang_pred != 'unknown' AS INT) AS keep
+FROM cl JOIN q ON q.doc_id = cl.doc_id JOIN l ON l.doc_id = cl.doc_id"""
+
+
 def q_ngram_jaccard_pairs() -> str:
     W = D.NGRAM_RANK_WINDOW
     return f"""
@@ -501,6 +514,7 @@ ORACLES = {
     "minhash_band_stats": q_minhash_band_stats,
     "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
+    "corpus_curation": q_corpus_curation,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash16": q_simhash16,
     "embed_cosine_scores": q_embed_cosine_scores,
