@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -191,6 +191,31 @@ def concat_sessions_streaming(
     )
 
 
+def shed_overload(
+    batch_df: DataFrame, max_per_tag: int, order_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """LOSSY drop-on-overload — the reference's full-queue message drop
+    (``acceptorfilters/pipeline.go:170-180``: a message that cannot enqueue
+    within the timeout is discarded and counted), restated per micro-batch:
+    each TAG (one queue per tag in the reference) keeps at most
+    ``max_per_tag`` rows per trigger; the excess is SHED deterministically
+    (lowest ``order_col`` kept — the oldest-first queue drain) and returned
+    as an audit frame instead of a log line.
+
+    Scale shape: one rank window partitioned by tag — bounded sort groups,
+    no global ordering; the shed audit is a partial-agg count.  Returns
+    ``(kept, shed_counts)`` where ``shed_counts`` is ``(tag, n_shed)``."""
+    w = Window.partitionBy("tag").orderBy(order_col)
+    ranked = batch_df.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rk") <= max_per_tag).drop("_rk")
+    shed = (
+        ranked.filter(F.col("_rk") > max_per_tag)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n_shed"))
+    )
+    return kept, shed
+
+
 def run_pipeline_stream(
     spark: SparkSession,
     src_dir: str,
@@ -199,11 +224,14 @@ def run_pipeline_stream(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     with_concat: bool = True,
     max_files_per_trigger: int | None = None,
+    shed_max_per_tag: int | None = None,
 ):
     """readStream -> (stateful concat) -> stateless chain -> foreachBatch
     per-sink writes + counts.  Returns the StreamingQuery (caller triggers
     availableNow or continuous).  ``max_files_per_trigger`` throttles intake
-    at the source (see read_sequence_stream)."""
+    at the source (see read_sequence_stream); ``shed_max_per_tag`` arms the
+    LOSSY drop-on-overload path (see shed_overload) — shed rows land in the
+    ``_shed`` audit table, mirroring the reference's drop counter."""
     import os
 
     df = with_ingest_columns(
@@ -216,6 +244,13 @@ def run_pipeline_stream(
     df = msgid(df, cfg)
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if shed_max_per_tag is not None:
+            batch_df, shed = shed_overload(batch_df, shed_max_per_tag)
+            (
+                shed.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, "_shed"))
+            )
         batch_df = batch_df.persist()
         try:
             for sink in cfg.sinks:

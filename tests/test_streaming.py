@@ -40,3 +40,39 @@ def test_stream_two_batches_with_restart(spark, sf_dir, tmp_path):
     assert len(ids) > 0
     counts = spark.read.parquet(os.path.join(out, "_counts"))
     assert counts.agg(F.sum("n")).collect()[0][0] >= len(ids)
+
+
+def test_stream_lossy_drop_on_overload(spark, sf_dir, tmp_path):
+    """LOSSY backpressure (acceptorfilters/pipeline.go:170-180): with the
+    shed path armed, a micro-batch delivering more rows for one tag than the
+    per-trigger budget drops the excess — deterministically, with the drop
+    AUDITED per (batch, tag) — and conservation holds: delivered + shed =
+    what an unshedded run delivers."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, sf_dir, src, 0)
+    _write_batch(spark, sf_dir, src, 1)  # both halves -> one fat batch
+
+    # control: same input, no shedding (concat off on both runs: shed
+    # operates on parsed rows, and availableNow may split file batches)
+    q0 = run_pipeline_stream(
+        spark, src, str(tmp_path / "out0"), str(tmp_path / "ck0"), with_concat=False
+    )
+    q0.awaitTermination(120)
+    counts0 = spark.read.parquet(str(tmp_path / "out0/_counts"))
+    total0 = counts0.agg(F.sum("n")).collect()[0][0]
+
+    cap = 40
+    q = run_pipeline_stream(
+        spark, src, str(tmp_path / "out1"), str(tmp_path / "ck1"),
+        with_concat=False, shed_max_per_tag=cap,
+    )
+    q.awaitTermination(120)
+    counts1 = spark.read.parquet(str(tmp_path / "out1/_counts"))
+    shed = spark.read.parquet(str(tmp_path / "out1/_shed"))
+    delivered = counts1.agg(F.sum("n")).collect()[0][0]
+    n_shed = shed.agg(F.sum("n_shed")).collect()[0][0] or 0
+    assert n_shed > 0, "cap should actually shed on this input"
+    assert delivered + n_shed == total0
+    # per (batch, tag) the delivered count never exceeds the budget
+    over = counts1.filter(F.col("n") > cap).collect()
+    assert not over, over
