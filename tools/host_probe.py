@@ -51,19 +51,33 @@ def aggregate_bandwidth(n_procs: int, seconds: float = 3.0) -> float:
     return round(total / seconds / 1e9, 2)
 
 
-def probe(n_low: int = 2, n_high: int = 8, seconds: float = 3.0) -> dict:
-    bw_low = aggregate_bandwidth(n_low, seconds)
-    bw_high = aggregate_bandwidth(n_high, seconds)
+def probe(
+    n_low: int = 2, n_high: int = 8, seconds: float = 3.0, reps: int = 3
+) -> dict:
+    """Median-of-``reps`` per level, levels interleaved: a single short
+    probe ALIASES the host's load swings (observed: instantaneous 2v8
+    'efficiency' from 0.02 to 15.4 within minutes on this VM because one
+    3-second window ran during a co-tenant burst) — the median of
+    interleaved samples tracks the average bandwidth the much longer
+    pipeline legs actually experience."""
+    lows, highs = [], []
+    for _ in range(reps):
+        lows.append(aggregate_bandwidth(n_low, seconds))
+        highs.append(aggregate_bandwidth(n_high, seconds))
+    bw_low = sorted(lows)[reps // 2]
+    bw_high = sorted(highs)[reps // 2]
     eff = round((bw_high / bw_low) / (n_high / n_low), 3)
     return {
         "memcpy_gbps_low": bw_low,
         "memcpy_gbps_high": bw_high,
+        "samples_low": lows,
+        "samples_high": highs,
         "cores": [n_low, n_high],
         "memcpy_efficiency": eff,
         "note": (
-            "aggregate pinned-memcpy bandwidth at the same two parallelism "
-            "levels as the pipeline pair — the host DRAM ceiling a "
-            "memory-bound job cannot exceed"
+            "median aggregate pinned-memcpy bandwidth at the same two "
+            "parallelism levels as the pipeline pair — the host DRAM "
+            "ceiling a memory-bound job cannot exceed"
         ),
     }
 
