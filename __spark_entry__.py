@@ -141,6 +141,8 @@ _DATAPREP = {
     # connected components over the LSH pairs (deterministic unrolled
     # min-label propagation) — cluster id + representative per doc
     "dedup_clusters": DP.dedup_clusters,
+    # the embedding-space twin (CC over banded cosine pairs)
+    "embed_dedup_clusters": DP.embed_dedup_clusters,
     "simhash16": DP.simhash16,
     "embed_cosine_scores": DP.embed_cosine_scores,
     "embed_lsh_buckets": DP.embed_lsh_buckets,

@@ -221,6 +221,53 @@ def minhash_lsh_pairs(
 DEDUP_CC_ITERS = 3  # fixed min-label-propagation rounds (measured: 1 suffices)
 
 
+def _cc_clusters(
+    pairs: DataFrame, vertices: DataFrame, id_col: str, n_iter: int
+) -> DataFrame:
+    """Generic bounded connected components: ``pairs(a, b)`` + a vertex
+    frame -> (id_col, cluster, cluster_sz, is_rep) via ``n_iter`` rounds of
+    min-label propagation.  The edge list (both directions + self loops) is
+    checkpointed ONCE — without lineage truncation the pair pipeline would
+    re-execute per round (measured 61 parquet scans); each round is one
+    edge join + map-side min-combine shuffle."""
+    a, b = pairs.columns[0], pairs.columns[1]
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .unionByName(
+            vertices.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("lbl"))
+    for _ in range(n_iter):
+        labels = (
+            edges.join(labels.withColumnRenamed("vid", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .withColumnRenamed("src", "vid")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_sz"))
+    return labels.join(sizes, "lbl").select(
+        F.col("vid").alias(id_col),
+        F.col("lbl").alias("cluster"),
+        "cluster_sz",
+        (F.col("vid") == F.col("lbl")).cast("int").alias("is_rep"),
+    )
+
+
+def embed_dedup_clusters(
+    spark: SparkSession, sf_dir: str, n_iter: int = DEDUP_CC_ITERS
+) -> DataFrame:
+    """Embedding-space near-dup clusters: the same bounded CC over the
+    capped banded-LSH cosine pairs — semantic dedup's endgame, the twin of
+    the text-side dedup_clusters."""
+    pairs = embed_banded_pairs(spark, sf_dir).select("a_vec", "b_vec")
+    return _cc_clusters(
+        pairs, embs(spark, sf_dir).select("vec_id"), "vec_id", n_iter
+    )
+
+
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, n_iter: int = DEDUP_CC_ITERS
 ) -> DataFrame:
@@ -237,29 +284,9 @@ def dedup_clusters(
     graph.  Output: every doc with its cluster id (min doc_id in the
     component), cluster size, and whether it is the kept representative."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("a_doc", "b_doc")
-    d = docs(spark, sf_dir).select("doc_id")
-    edges = (
-        pairs.select(F.col("a_doc").alias("src"), F.col("b_doc").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b_doc").alias("src"), F.col("a_doc").alias("dst"))
-        )
-        .unionByName(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
-        # materialize the edge list ONCE: every propagation round joins it,
-        # and without lineage truncation the whole LSH pair pipeline
-        # (signatures -> band join -> jaccard verify) re-executes per round
-        # (measured: 61 parquet scans in the adaptive plan) — at scale you
-        # checkpoint the edge table before iterating, same as here
-        .localCheckpoint()
+    return _cc_clusters(
+        pairs, docs(spark, sf_dir).select("doc_id"), "doc_id", n_iter
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("lbl"))
-    for _ in range(n_iter):
-        labels = (
-            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("lbl").alias("lbl"))
-            .withColumnRenamed("src", "doc_id")
-        )
-    return _finish_clusters(labels)
 
 
 def _finish_clusters(labels: DataFrame) -> DataFrame:

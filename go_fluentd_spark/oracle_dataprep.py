@@ -186,6 +186,33 @@ SELECT f.doc_id, f.lbl AS cluster, s.cluster_sz,
 FROM {prev} f JOIN sizes s USING (lbl)"""
 
 
+def q_embed_dedup_clusters() -> str:
+    """Mirror of dataprep.embed_dedup_clusters: the same fixed CC rounds
+    over the capped banded-LSH cosine pairs."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, D.DEDUP_CC_ITERS + 1):
+        rounds.append(
+            f"""l{t} AS (
+  SELECT e.src AS vid, min(p.lbl) AS lbl
+  FROM edges e JOIN {prev} p ON p.vid = e.dst GROUP BY e.src)"""
+        )
+        prev = f"l{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pairs AS ({q_embed_banded_pairs().strip()}),
+edges AS (
+  SELECT a_vec AS src, b_vec AS dst FROM pairs
+  UNION ALL SELECT b_vec, a_vec FROM pairs
+  UNION ALL SELECT vec_id, vec_id FROM embeddings),
+l0 AS (SELECT vec_id AS vid, vec_id AS lbl FROM embeddings),
+{rounds_sql},
+sizes AS (SELECT lbl, count(*) AS cluster_sz FROM {prev} GROUP BY lbl)
+SELECT f.vid AS vec_id, f.lbl AS cluster, s.cluster_sz,
+  CAST(f.vid = f.lbl AS INT) AS is_rep
+FROM {prev} f JOIN sizes s USING (lbl)"""
+
+
 def q_pii_scrub() -> str:
     """Mirror of dataprep.pii_scrub (+_stats): same 1-in-3 injection, same
     RE2-subset regexes, counts before redaction, same replacement order."""
@@ -515,6 +542,7 @@ ORACLES = {
     "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
     "corpus_curation": q_corpus_curation,
+    "embed_dedup_clusters": q_embed_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash16": q_simhash16,
     "embed_cosine_scores": q_embed_cosine_scores,
