@@ -14,6 +14,7 @@ Subcommands:
            uncommitted buckets are reprocessed)
   counts   print the per-sink/per-tag aggregate counts (the /monitor analogue)
   stream   run the Structured Streaming variant over a directory source
+  curate   run the corpus-curation decision and write kept docs + audit
 """
 
 from __future__ import annotations
@@ -49,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     monp.add_argument("--out", default=None, help="also write stage_counts parquet here")
     monp.add_argument("--cores", type=int, default=None)
 
+    curp = sub.add_parser(
+        "curate", help="corpus-curation decision (keep = rep ∧ quality ∧ lang)"
+    )
+    curp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    curp.add_argument("--out", required=True, help="writes kept/ and audit/ parquet")
+    curp.add_argument("--cores", type=int, default=None)
+
     stp = sub.add_parser("stream", help="streaming variant over a dir source")
     stp.add_argument("--src", required=True)
     stp.add_argument("--out", required=True)
@@ -82,6 +90,27 @@ def main(argv: list[str] | None = None) -> int:
                 stage_counts(spark, args.sf_dir).write.mode("overwrite").parquet(
                     os.path.join(args.out, "stage_counts")
                 )
+        elif args.cmd == "curate":
+            from pyspark.sql import functions as F
+
+            from go_fluentd_spark.operators.dataprep import corpus_curation, docs
+
+            audit = corpus_curation(spark, args.sf_dir).persist()
+            try:
+                kept = (
+                    docs(spark, args.sf_dir)
+                    .join(audit.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+                )
+                kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
+                audit.write.mode("overwrite").parquet(os.path.join(args.out, "audit"))
+                stats = {
+                    "total": audit.count(),
+                    "kept": audit.filter(F.col("keep") == 1).count(),
+                }
+                stats["reject_rate"] = round(1 - stats["kept"] / stats["total"], 4)
+                print(json.dumps(stats))
+            finally:
+                audit.unpersist()
         elif args.cmd == "stream":
             from go_fluentd_spark.streaming.stream_pipeline import run_pipeline_stream
 
