@@ -126,6 +126,8 @@ _DATAPREP = {
     "sequence_chunks": DP.sequence_chunks,
     # token-vocabulary frequency/rank/coverage table (tokenizer-bounded)
     "token_vocab_topk": DP.token_vocab_topk,
+    # corpus length profile (totals + interpolated n_tok quantiles)
+    "sequence_length_stats": DP.sequence_length_stats,
     # PII detection + redaction hygiene pass (counts + cleaned-text hash)
     "pii_scrub": DP.pii_scrub,
     # the shipped end-to-end curation decision (rep ∧ quality ∧ lang)
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "token_ngram_dup_stats": oracle.q_token_ngram_dup_stats(),
         "sequence_chunks": oracle.q_sequence_chunks(),
         "token_vocab_topk": oracle.q_token_vocab_topk(),
+        "sequence_length_stats": oracle.q_sequence_length_stats(),
         "replay_dedup": oracle.q_replay_dedup(),
     }
     out.update({name: fn() for name, fn in oracle_dataprep.ORACLES.items()})

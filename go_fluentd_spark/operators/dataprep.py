@@ -578,6 +578,30 @@ def token_vocab_topk(spark: SparkSession, sf_dir: str, k: int = TOP_VOCAB_K) -> 
     )
 
 
+def sequence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile over the SEQUENCE table: row/token totals and
+    interpolated n_tok quantiles (p50/p90/p99) — the capacity-planning
+    numbers (packing efficiency, truncation rate) a training run is sized
+    by.  Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same linear-interpolation definition (R type 7), so the values
+    hash-match.  One partial-agg pass; swap ``approx_percentile`` in at
+    extreme scale — identical query shape."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    seq = sequences_df(spark, sf_dir).select("n_tok")
+    pct = F.expr("percentile(n_tok, array(0.5D, 0.9D, 0.99D))")
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tok"),
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+    )
+
+
 CURATION_MIN_QUALITY = 0.5  # keep bar for the curation decision
 
 

@@ -479,6 +479,23 @@ FROM c""",
     )
 
 
+def q_sequence_length_stats() -> str:
+    """Mirror of operators/dataprep.py::sequence_length_stats (quantile_cont
+    = Spark percentile: both R-type-7 linear interpolation)."""
+    return _with(
+        _SEQ_CTES,
+        final="""SELECT count(*) AS n_seqs,
+  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+  min(n_tok) AS min_tok,
+  max(n_tok) AS max_tok,
+  round(avg(n_tok), 4) AS avg_tok,
+  round(quantile_cont(n_tok, 0.5), 4) AS p50,
+  round(quantile_cont(n_tok, 0.9), 4) AS p90,
+  round(quantile_cont(n_tok, 0.99), 4) AS p99
+FROM seq""",
+    )
+
+
 def q_token_vocab_topk() -> str:
     """Mirror of operators/dataprep.py::token_vocab_topk."""
     from go_fluentd_spark.operators import dataprep as D
