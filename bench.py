@@ -148,47 +148,68 @@ def main() -> None:
         # headline statistic is the efficiency of per-leg bests — the
         # steady-state capability ratio, least polluted by JVM noise
         # (BENCH.md methodology).
+        # Hardened: a stalled host leg (observed: the shared VM's memcpy
+        # bandwidth collapsing to 0.1 GB/s for minutes) must never cost the
+        # whole artifact — every leg/pair failure is caught and recorded,
+        # and a wall-clock budget stops adding pairs.
         n_low, n_high = 2, 8
         srep = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "8"))
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
+        budget_s = int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "900"))
+        t_start = time.perf_counter()
         pairs = []
+        errors = []
         for _ in range(n_pairs):
-            # best-of-2 per leg (vs the tool's standalone best-of-3): bounds
-            # the embedded evidence to ~5 min so the driver's bench run stays
-            # well inside any harness timeout
-            low = run_level(n_low, sf_dir, srep, n_runs=2)
-            high = run_level(n_high, sf_dir, srep, n_runs=2)
+            if pairs and time.perf_counter() - t_start > budget_s:
+                errors.append(f"budget {budget_s}s reached after {len(pairs)} pairs")
+                break
+            try:
+                # best-of-2 per leg (vs the tool's standalone best-of-3):
+                # bounds the embedded evidence so the driver's bench run
+                # stays well inside any harness timeout
+                low = run_level(n_low, sf_dir, srep, n_runs=2)
+                high = run_level(n_high, sf_dir, srep, n_runs=2)
+            except Exception as e:  # noqa: BLE001 — record, keep the artifact
+                errors.append(f"{type(e).__name__}: {e}"[:300])
+                continue
             eff = (high["rows_per_sec"] / low["rows_per_sec"]) / (n_high / n_low)
             pairs.append({"low": low, "high": high, "efficiency": round(eff, 3)})
-        best_eff = (
-            max(p["high"]["rows_per_sec"] for p in pairs)
-            / max(p["low"]["rows_per_sec"] for p in pairs)
-        ) / (n_high / n_low)
-        effs = sorted(p["efficiency"] for p in pairs)
-        median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
-            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
-        )
-        result["scaling_pairs"] = {
-            "pairs": pairs,
-            "core_ratio": n_high / n_low,
-            "pinned": os.path.exists("/usr/bin/taskset"),
-            "rows": pairs[0]["low"]["rows"],
-            "best_leg_efficiency": round(best_eff, 3),
-            "median_efficiency": median_eff,
-            "all_efficiencies": effs,
-        }
+        if pairs:
+            best_eff = (
+                max(p["high"]["rows_per_sec"] for p in pairs)
+                / max(p["low"]["rows_per_sec"] for p in pairs)
+            ) / (n_high / n_low)
+            effs = sorted(p["efficiency"] for p in pairs)
+            median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+                (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+            )
+            result["scaling_pairs"] = {
+                "pairs": pairs,
+                "core_ratio": n_high / n_low,
+                "pinned": os.path.exists("/usr/bin/taskset"),
+                "rows": pairs[0]["low"]["rows"],
+                "best_leg_efficiency": round(best_eff, 3),
+                "median_efficiency": median_eff,
+                "all_efficiencies": effs,
+            }
+        if errors:
+            result.setdefault("scaling_pairs", {})["errors"] = errors
         # SAME-DAY HOST CONTROL: aggregate pinned-memcpy bandwidth at the
         # same 2 vs 8 parallelism — the DRAM ceiling a memory-bound job
         # cannot exceed on this shared VM.  If the pipeline's efficiency
         # tracks this ceiling, the residual gap to 1.0 is the host, not the
         # code (see BENCH.md "Scaling" for the full methodology).
-        from tools.host_probe import probe
+        try:
+            from tools.host_probe import probe
 
-        hc = probe(n_low, n_high, seconds=3.0)
-        result["host_control"] = hc
-        result["scaling_pairs"]["efficiency_vs_host_ceiling"] = round(
-            best_eff / hc["memcpy_efficiency"], 3
-        )
+            hc = probe(n_low, n_high, seconds=3.0)
+            result["host_control"] = hc
+            if pairs and hc["memcpy_efficiency"]:
+                result["scaling_pairs"]["efficiency_vs_host_ceiling"] = round(
+                    best_eff / hc["memcpy_efficiency"], 3
+                )
+        except Exception as e:  # noqa: BLE001
+            result["host_control"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     print(json.dumps(result))
 
 
