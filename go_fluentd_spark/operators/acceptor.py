@@ -51,8 +51,10 @@ def accept_whitelist(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def acceptor_chain(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The full serial chain: spark -> spring -> default (controllor.go:183-245).
 
-    Note on reference semantics intentionally not reproduced: the lossy
-    drop-on-overload / throttle paths (``pipeline.go:158-180``) shed load
-    under backpressure; a batch plan never sheds (SURVEY.md §2.10).
+    Backpressure (``pipeline.go:158-180``) lives in the STREAMING variant,
+    not here: the throttle maps to source-side rate caps
+    (``streaming/kafka_source.py``) and the lossy drop-on-overload to
+    ``streaming/stream_pipeline.py::shed_overload``; a batch plan itself
+    never sheds (SURVEY.md §2.10).
     """
     return accept_whitelist(spring_retag(spark_filter(df, cfg), cfg), cfg)
