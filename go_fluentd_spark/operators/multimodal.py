@@ -231,6 +231,68 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, abs(height), 1, feature
 
 
+def _resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbour resize of a 24-bit BMP, stdlib-only: sample
+    source pixels on the integer grid and re-encode a conforming container
+    (same layout _make_bmp writes).  Resizing to the source geometry is the
+    identity (bit-exact round trip — pinned by pytest)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)[:2]
+    height = abs(height)
+    row_len = (width * 3 + 3) // 4 * 4
+    px = payload[data_off:]
+    out_row_len = (out_w * 3 + 3) // 4 * 4
+    out = bytearray()
+    for oy in range(out_h):
+        sy = oy * height // out_h
+        row = px[sy * row_len : sy * row_len + width * 3]
+        orow = bytearray()
+        for ox in range(out_w):
+            sx = ox * width // out_w
+            orow += row[sx * 3 : sx * 3 + 3]
+        orow += b"\x00" * (out_row_len - out_w * 3)
+        out += orow
+    data = bytes(out)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + dib + data
+
+
+def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Image resize over the binary media column (the brief's resize step):
+    nearest-neighbour downsample of every image row's BMP payload to
+    (out_w, out_h), re-encoded as a real container so downstream decode /
+    feature steps run unchanged on the resized table.  Narrow mapInPandas —
+    binary payloads never shuffle; at scale this is the thumbnailing pass
+    before feature extraction."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (r.media_id, out_w, out_h, _resize_bmp(bytes(r.payload), out_w, out_h))
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema)
+    )
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
     with wave.open(io.BytesIO(payload), "rb") as w:
         framerate, nchannels, nframes = w.getframerate(), w.getnchannels(), w.getnframes()

@@ -2,6 +2,7 @@
 decode, and the REAL stdlib BMP/WAV/MP4 decode round-trip."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from go_fluentd_spark.operators.multimodal import (
     _decode_mp4,
@@ -53,6 +54,27 @@ def test_decode_real_roundtrip(spark, sf_dir):
             _, ew, eh, enf = _make_mp4(seed)
             assert (w, h, nf) == (ew, eh, enf), media_id
         assert len(feat) == 8 and all(0.0 <= f <= 1.01 for f in feat)
+
+
+def test_resize_images_roundtrip(spark, sf_dir):
+    """Resize through the real containers: resized payloads decode to the
+    target geometry; resizing to the source geometry is bit-exact identity."""
+    from go_fluentd_spark.operators.multimodal import _resize_bmp, resize_images
+
+    media = pack_media_real(spark, sf_dir).filter("kind = 'image'").limit(20)
+    out = resize_images(media, out_w=12, out_h=9)
+    decoded = {
+        r.media_id: (r.width, r.height)
+        for r in decode_features(
+            out.withColumn("kind", F.lit("image")), decoder="real"
+        ).collect()
+    }
+    assert decoded and all(v == (12, 9) for v in decoded.values())
+    # identity: same-geometry resize reproduces the exact container bytes
+    row = media.first()
+    seed = int(row.media_id[1:])
+    payload, w, h = _make_bmp(seed)
+    assert _resize_bmp(payload, w, h) == payload
 
 
 def test_decode_mp4_rejects_garbage():
