@@ -1,0 +1,66 @@
+"""Physical-plan shape regression tests: pin the properties the 100 TB
+design claims rest on (PLANS.md / README "Design for 100 TB") so a future
+change that silently introduces a sort-merge join, an extra shuffle, or an
+unpruned scan fails CI, not a cluster run."""
+
+import re
+
+from go_fluentd_spark.operators import dataprep as DP
+from go_fluentd_spark.plans import pipeline as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _n(plan: str, op: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.M))
+
+
+def test_full_pipeline_plan_shape(spark):
+    plan = _plan(P.routed(spark, SF))
+    # exactly TWO exchanges: the key-only synth repartition (absent at real
+    # scale) and the concat window's (tag, container_id) hash partition
+    assert _n(plan, "Exchange") == 2, plan[:2000]
+    # every dim lookup broadcasts; nothing sort-merges or goes nested-loop
+    assert _n(plan, "BroadcastHashJoin") >= 3
+    assert _n(plan, "SortMergeJoin") == 0
+    assert _n(plan, "CartesianProduct") == 0
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0
+    # the parser's measured optimum: exactly two Arrow-batched Python nodes
+    assert _n(plan, "ArrowEvalPython") == 2
+    # the synth scan is pruned to the single key column
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_sink_counts_reuses_window_partitioning(spark):
+    plan = _plan(P.sink_counts(spark, SF))
+    # synth repartition + concat window + ONE agg exchange for the final
+    # (sink, tag) grouping — the group-by after the window must not add more
+    assert _n(plan, "Exchange") <= 3, plan[:2000]
+    assert _n(plan, "SortMergeJoin") == 0
+
+
+def test_sequence_chunks_is_narrow(spark):
+    plan = _plan(DP.sequence_chunks(spark, SF))
+    # zero-shuffle beyond the synth repartition; no joins at all
+    assert _n(plan, "Exchange") <= 1, plan[:2000]
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "ArrowEvalPython"):
+        assert _n(plan, op) == 0
+
+
+def test_lsh_pair_joins_never_nested_loop(spark):
+    for df in (
+        DP.minhash_lsh_pairs(spark, SF),
+        DP.embed_banded_pairs(spark, SF),
+        DP.ngram_jaccard_pairs(spark, SF),
+    ):
+        plan = _plan(df)
+        assert _n(plan, "CartesianProduct") == 0
+        assert _n(plan, "BroadcastNestedLoopJoin") == 0
