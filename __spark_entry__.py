@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_fluentd_spark import oracle, oracle_dataprep, oracle_recv  # noqa: E402
 from go_fluentd_spark.operators import dataprep as DP  # noqa: E402
+from go_fluentd_spark.operators import multimodal as MM  # noqa: E402
 from go_fluentd_spark.operators import recv as RV  # noqa: E402
 from go_fluentd_spark.plans import pipeline as P  # noqa: E402
 from go_fluentd_spark.session import ensure_session_defaults  # noqa: E402
@@ -163,6 +164,16 @@ _DATAPREP = {
     # probe + top-k all value-hash-match; the MLlib fit variant (k-means||
     # init, not cross-engine deterministic) is pinned by recall pytest
     "embed_ivf_kmeans_topk": DP.embed_ivf_kmeans_topk,
+    # REAL multimodal codecs, first-class under the gate: Spark PARSES the
+    # synthesized BMP/WAV/MP4 containers; the twin recomputes expected
+    # geometry + strata features from the same doc_id arithmetic
+    "media_geometry": MM.media_geometry,
+    # curation folded over the media signal (geometry floor + exact-feature
+    # media dedup rep) ...
+    "corpus_curation_mm": DP.corpus_curation_mm,
+    # ... and the end-to-end training-ready output: chunks of sequences
+    # whose linked doc survived the full text+media curation
+    "curated_chunks": DP.curated_chunks,
 }
 
 

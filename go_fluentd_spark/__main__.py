@@ -107,7 +107,11 @@ def main(argv: list[str] | None = None) -> int:
                     "total": audit.count(),
                     "kept": audit.filter(F.col("keep") == 1).count(),
                 }
-                stats["reject_rate"] = round(1 - stats["kept"] / stats["total"], 4)
+                stats["reject_rate"] = (
+                    round(1 - stats["kept"] / stats["total"], 4)
+                    if stats["total"]
+                    else 0.0
+                )
                 print(json.dumps(stats))
             finally:
                 audit.unpersist()

@@ -268,6 +268,13 @@ class SinkConfig:
     # physical write projects to include ∪ MUST_INCLUDE_FIELDS — a REAL
     # select() (column pruning reaches the write), not per-row nulling
     include_fields: tuple[str, ...] | None = None
+    # per-sender drop-vs-retry policy (producer.go:309-325
+    # is_discard_when_blocked; senders retry 3x then push to failchan,
+    # elasticsearch.go:286-316 / kafka.go:120-150): True = after retries are
+    # exhausted the sink's bucket is marked committed-WITH-LOSS (state
+    # 'discarded' audit row) and the run completes; False = the bucket stays
+    # uncommitted so resume re-delivers (the non-lossy default)
+    discard_when_blocked: bool = False
 
 
 SINKS: list[SinkConfig] = [

@@ -19,8 +19,10 @@ every operator is expressed so its shuffle structure scales —
   IVF-style centroid assignment: same plan shape.
 
 All constants are fixed so the DuckDB oracle (``oracle_dataprep``) reproduces
-results bit-for-bit; hashes are md5-prefix based (``stable_hash64``) because
-both engines share md5.
+results bit-for-bit.  Hot-path hashes (minhash shingles, token grams, winnow)
+are pure int64 polynomial folds — identical arithmetic in both engines and
+~10x cheaper than the md5-prefix ``stable_hash64``, which remains only where
+per-row cost is negligible (simhash word hash, doc fingerprint, exact dedup).
 """
 
 from __future__ import annotations
@@ -111,14 +113,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_hashes(text: Column) -> Column:
-    """H(shingle) % p for each distinct shingle — the minhash input."""
-    return F.transform(shingles(text), lambda s: stable_hash64(s) % MINHASH_P)
+# Shingle hashing: Horner polynomial over char codes, mod MINHASH_P — the
+# cross-engine integer recipe already proven by token_ngram_dup_stats and
+# winnow_fingerprints.  Replaces the round-1 md5-prefix hash: ~10M md5 calls
+# dominated the minhash bench query (8.3 s at sf0.1); pure int64 arithmetic
+# is identical in Spark and DuckDB, so parity is exact by construction.
+MH_GRAM_B = 257
+
+
+def _with_shingle_hashes(d: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """Append ``_hs``: DISTINCT k-char-gram polynomial hashes of ``text``.
+    Staged projections (the winnow pattern): ``_codes`` is bound in its own
+    select and consumed twice downstream, so CollapseProject cannot inline
+    the split/ascii back into the HOF lambda (per-element re-eval trap)."""
+    t0 = F.col("text")
+    t = F.when(F.length(t0) < SHINGLE_K, F.rpad(t0, SHINGLE_K, "#")).otherwise(t0)
+    d = d.select(
+        *keep_cols,
+        F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("bigint")).alias(
+            "_codes"
+        ),
+    )
+    n = F.greatest(F.size("_codes") - (SHINGLE_K - 1), F.lit(1))
+
+    def gram_hash(i: Column) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for j in range(SHINGLE_K):
+            acc = (acc * MH_GRAM_B + F.element_at(F.col("_codes"), i + j)) % MINHASH_P
+        return acc
+
+    return d.select(
+        *keep_cols,
+        n.alias("_n_grams"),  # second _codes use: keeps CollapseProject out
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n), gram_hash)).alias("_hs"),
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signature per doc (narrow, no shuffle)."""
-    d = docs(spark, sf_dir).withColumn("_hs", _shingle_hashes(F.col("text")))
+    d = _with_shingle_hashes(docs(spark, sf_dir), ["doc_id", "lang"])
 
     def perm(a: int, b: int):
         return lambda h: (a * h + b) % MINHASH_P
@@ -197,8 +230,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = docs(spark, sf_dir).select(
-        "doc_id", shingles(F.col("text")).alias("sh")
+    sh = _with_shingle_hashes(docs(spark, sf_dir), ["doc_id"]).select(
+        "doc_id", F.col("_hs").alias("sh")
     )
     verified = (
         cand.join(sh.withColumnsRenamed({"doc_id": "a_doc", "sh": "sha"}), "a_doc")
@@ -549,32 +582,41 @@ def token_vocab_topk(spark: SparkSession, sf_dir: str, k: int = TOP_VOCAB_K) -> 
     frequency, rank, and cumulative coverage share for the top-k tokens —
     the vocab-coverage diagnostic a tokenizer/corpus pairing is judged by.
     Shape at scale: one explode + ONE hash shuffle with map-side combine
-    down to |vocab| rows; the global rank window then runs over the vocab
-    table, whose size is bounded by the TOKENIZER (~50k-200k ids), not the
-    corpus — constant-size regardless of corpus rows."""
+    down to |vocab| rows; top-k is then taken FIRST (TakeOrderedAndProject —
+    per-partition partial top-k merged once, bounded by k) and the
+    rank/cum-sum window runs over only those k rows (constant partition key,
+    so no 'No Partition Defined' single-partition sort of the full vocab —
+    the plan no longer depends on the vocab staying tokenizer-bounded)."""
     from go_fluentd_spark.sources.synth import sequences_df
 
     seq = sequences_df(spark, sf_dir).select(
         F.explode("tokens").alias("token")
     )
     counts = seq.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    ranked = counts.select(
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # _p is constant-0 but NOT foldable (pmod over a column): a literal
+    # partition key gets constant-folded out of the window spec and the
+    # single-partition warning returns, even though the input is already
+    # bounded to k rows by the TakeOrdered above
+    topk = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+        .withColumn("_p", F.pmod(F.col("token"), F.lit(1)))
+    )
+    w = Window.partitionBy("_p").orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = topk.select(
         F.col("token").cast("bigint").alias("token"),
         "cnt",
         F.row_number().over(w).cast("bigint").alias("rank"),
-        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
     )
-    total = counts.agg(F.sum("cnt").alias("total"))
-    return (
-        ranked.filter(F.col("rank") <= k)
-        .crossJoin(F.broadcast(total))
-        .select(
-            "token",
-            "cnt",
-            "rank",
-            F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
-        )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        "rank",
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
     )
 
 
@@ -625,6 +667,78 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "cluster", "is_rep", "quality", "lang_pred",
         keep.cast("int").alias("keep"),
+    )
+
+
+# minimum-resolution/duration floors for the multimodal curation pass
+MEDIA_MIN_IMAGE_AREA = 100  # pixels (width x height)
+MEDIA_MIN_AUDIO_FRAMES = 96  # samples (12 ms at 8 kHz)
+MEDIA_MIN_VIDEO_FRAMES = 24  # ~1 s at 25 fps
+
+
+def corpus_curation_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation folded over the MULTIMODAL signal: the text-side keep
+    decision (corpus_curation) AND the document's decoded media passes a
+    geometry-sanity floor (minimum resolution / sample count / duration —
+    what a real media curation pass filters first) AND the document is its
+    media dedup group's representative (exact decoded-feature fingerprint:
+    same kind + geometry + quantized 8-dim feature = same asset; rep = min
+    doc_id).  All media signals come from REALLY parsing the BMP/WAV/MP4
+    payloads (media_geometry), so a codec regression flips this gate too.
+    Shape at scale: one narrow decode pass; dedup = one hash shuffle on the
+    (small) fingerprint tuple; doc-key joins co-partitioned."""
+    from go_fluentd_spark.operators.multimodal import media_geometry
+
+    base = corpus_curation(spark, sf_dir)
+    mg = media_geometry(spark, sf_dir).withColumn(
+        "doc_id", F.substring("media_id", 2, 20).cast("bigint")
+    )
+    media_ok = (
+        F.when(F.col("kind") == "image", F.col("width") * F.col("height") >= MEDIA_MIN_IMAGE_AREA)
+        .when(F.col("kind") == "audio", F.col("n_frames") >= MEDIA_MIN_AUDIO_FRAMES)
+        .otherwise(F.col("n_frames") >= MEDIA_MIN_VIDEO_FRAMES)
+    )
+    wrep = Window.partitionBy("kind", "width", "height", "n_frames", "feature_q_csv")
+    mg = mg.select(
+        "doc_id",
+        "kind",
+        media_ok.cast("int").alias("media_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(wrep)).cast("int").alias("is_media_rep"),
+    )
+    out = base.join(mg, "doc_id")
+    keep_mm = (
+        (F.col("keep") == 1) & (F.col("media_ok") == 1) & (F.col("is_media_rep") == 1)
+    )
+    return out.select(
+        "doc_id", "keep", "kind", "media_ok", "is_media_rep",
+        keep_mm.cast("int").alias("keep_mm"),
+    )
+
+
+def curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE final training-ready table: training-window chunks of every
+    sequence whose linked document survived the FULL curation (text signals
+    + multimodal geometry/dedup, corpus_curation_mm) — the end-to-end
+    composite a 100 TB corpus ships to the trainer.  Sequences link to
+    documents deterministically (sequence id mod |documents| — the testdata
+    join key; in production this is the corpus's own doc->shard mapping).
+    Shape at scale: the keep list is a per-doc key table — the chunk table
+    semi-joins it on the link key (co-partitioned hash join, AQE broadcasts
+    when small); chunking itself stays a zero-shuffle narrow explode."""
+    keep = (
+        corpus_curation_mm(spark, sf_dir)
+        .filter(F.col("keep_mm") == 1)
+        .select(F.col("doc_id").alias("link_doc"))
+    )
+    nd = docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    ch = (
+        sequence_chunks(spark, sf_dir)
+        .withColumn("_id", F.split_part(F.col("doc_id"), F.lit("-"), F.lit(3)).cast("bigint"))
+        .crossJoin(F.broadcast(nd))
+        .withColumn("link_doc", F.pmod(F.col("_id"), F.col("n_docs")))
+    )
+    return ch.join(keep, "link_doc", "left_semi").select(
+        "doc_id", "chunk_id", "n_chunk_tok", "tokens_csv", "link_doc"
     )
 
 
@@ -1114,14 +1228,17 @@ def lloyd_centroids(
     cents = _seed_centroids(spark, sf_dir, k)
     for _ in range(n_iter):
         assigned = _assign_to_centroids(e, cents)
+        # round INSIDE the aggregate with F.round (SQL half-away-from-zero,
+        # the same rule DuckDB's round uses) — Python round() is half-even
+        # and can disagree on 4th-decimal boundaries, flipping an assignment
         means = assigned.groupBy("cluster").agg(
             *[
-                F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+                F.round(F.avg(F.col("embedding")[i].cast("double")), 4).alias(f"c{i}")
                 for i in range(EMB_DIM)
             ]
         ).collect()
         got = {
-            r.cluster: [round(r[f"c{i}"], 4) for i in range(EMB_DIM)] for r in means
+            r.cluster: [float(r[f"c{i}"]) for i in range(EMB_DIM)] for r in means
         }
         cents = [got.get(cid, cents[cid]) for cid in range(k)]
     return cents
@@ -1224,23 +1341,41 @@ def embed_ivf_kmeans_topk(
     return _probed_topk(e, cents, qv, probe, k)
 
 
-def embed_near_pairs(spark: SparkSession, sf_dir: str, tau: float = 0.3) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucketed candidates + exact cosine."""
-    b = embed_lsh_buckets(spark, sf_dir)
-    e = embs(spark, sf_dir).join(b.select("vec_id", "bucket"), "vec_id")
-    pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "bucket")
+def embed_near_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = 0.3, cap: int = EMB_BUCKET_CAP
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucketed candidates + exact cosine.
+    Per-bucket membership is CAPPED (rank by vec_id, drop rank > cap —
+    the same bound embed_banded_pairs enforces), so no join group exceeds
+    ``cap`` rows by construction: with only 256 fixed buckets, groups would
+    otherwise average N/256 and the self-join go quadratic at scale.  A hot
+    bucket degrades recall instead; the banded path (embed_banded_pairs) is
+    the tunable production variant."""
+    b = embed_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    b = b.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= cap).drop(
+        "_rk"
+    )
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_vec"), F.col("b.vec_id").alias("b_vec"))
+    )
+    e = embs(spark, sf_dir).select("vec_id", "embedding")
+    return (
+        cand.join(
+            e.withColumnsRenamed({"vec_id": "a_vec", "embedding": "ea"}), "a_vec"
+        )
+        .join(e.withColumnsRenamed({"vec_id": "b_vec", "embedding": "eb"}), "b_vec")
         .select(
-            F.col("a.vec_id").alias("a_vec"),
-            F.col("b.vec_id").alias("b_vec"),
+            "a_vec",
+            "b_vec",
             F.round(
-                _dotd(F.col("a.embedding"), F.col("b.embedding"))
-                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+                _dotd(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
                 4,
             ).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
     )
-    return pairs

@@ -58,7 +58,10 @@ def stage_counts(
     conc = P.concatted(spark, sf_dir, cfg).persist()
     try:
         concat_n = conc.count()
-        ingest_n = int(conc.agg(F.sum("n_merged")).collect()[0][0])
+        # coalesce: sum() over an empty source is NULL, not 0
+        ingest_n = int(
+            conc.agg(F.coalesce(F.sum("n_merged"), F.lit(0))).collect()[0][0]
+        )
         accepted = acceptor_chain(conc, cfg)
         accepted_n = accepted.count()
         par = parse(accepted, cfg).persist()

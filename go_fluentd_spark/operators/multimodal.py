@@ -170,13 +170,24 @@ def _make_mp4(seed: int) -> tuple[bytes, int, int, int]:
 
 
 def _mp4_boxes(buf: bytes, start: int, end: int):
-    """Walk sibling boxes in buf[start:end): yields (type, body_start, box_end)."""
+    """Walk sibling boxes in buf[start:end): yields (type, body_start, box_end).
+    Handles the full ISO-BMFF size encoding: size==1 means a 64-bit largesize
+    follows the type, size==0 means the box extends to the end of the
+    enclosing container (ISO/IEC 14496-12 §4.2)."""
     off = start
     while off + 8 <= end:
         size, typ = struct.unpack_from(">I4s", buf, off)
-        if size < 8 or off + size > end:
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("corrupt mp4 box")
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
             raise ValueError("corrupt mp4 box")
-        yield typ, off + 8, off + size
+        yield typ, off + hdr, off + size
         off += size
 
 
@@ -193,7 +204,13 @@ def _decode_mp4(payload: bytes) -> tuple[int, int, int, list[float]]:
         if typ == b"moov":
             for t2, s2, e2 in _mp4_boxes(payload, s, e):
                 if t2 == b"mvhd":
-                    timescale, duration = struct.unpack_from(">II", payload, s2 + 12)
+                    # version 1 widens creation/modification/duration to 64
+                    # bits, shifting timescale from offset 12 to 20
+                    if payload[s2] == 1:
+                        timescale = struct.unpack_from(">I", payload, s2 + 20)[0]
+                        duration = struct.unpack_from(">Q", payload, s2 + 24)[0]
+                    else:
+                        timescale, duration = struct.unpack_from(">II", payload, s2 + 12)
                 elif t2 == b"trak":
                     for t3, s3, e3 in _mp4_boxes(payload, s2, e2):
                         if t3 == b"tkhd":
@@ -376,9 +393,11 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]
 def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches; the codec
     runs once per row inside the batch loop — container parsing is
-    inherently per-row).  ``decoder="real"`` parses BMP/WAV with the stdlib
-    (video raises — needs ffmpeg); ``decoder="fake"`` is the hash stand-in
-    for arbitrary blobs."""
+    inherently per-row).  ``decoder="real"`` parses BMP (struct), WAV
+    (wave), and MP4 metadata (ISO-BMFF box walk — v0/v1 boxes, 64-bit
+    largesize) with the stdlib; only pixel-level video CODEC decode would
+    need ffmpeg.  ``decoder="fake"`` is the hash stand-in for arbitrary
+    blobs."""
     decode = _real_decode if decoder == "real" else (
         lambda payload, kind: _fake_decode(payload, kind)
     )
@@ -395,6 +414,34 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+def media_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class oracle query for the REAL codecs: ``pack_media_real`` ->
+    ``decode_features(decoder="real")``, exposing decoded geometry plus the
+    8-dim feature quantized to ints (x10000).  The DuckDB twin
+    (``oracle_dataprep.q_media_geometry``) recomputes EXPECTED geometry and
+    features from the same doc_id arithmetic the synthesizer uses
+    (_make_bmp/_make_wav/_make_mp4), so a codec regression in any of the
+    three container parsers flips the value hash.
+
+    Feature quantization: the decode rounds strata means to 4 decimals
+    (Python round, half-even) and stores float32; casting back to double and
+    re-rounding recovers the intended 4-decimal value (float32 error ~1e-8
+    << 5e-5), and x10000 as BIGINT makes the CSV engine-format-proof."""
+    dec = decode_features(pack_media_real(spark, sf_dir), decoder="real")
+    fq = F.transform(
+        "feature",
+        lambda x: F.round(F.round(x.cast("double"), 4) * 10000, 0).cast("bigint"),
+    )
+    return dec.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.array_join(fq, ",").alias("feature_q_csv"),
+    )
 
 
 def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:

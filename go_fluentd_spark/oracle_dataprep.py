@@ -19,6 +19,31 @@ list_distinct(list_transform(
 """
 
 
+def _gram_hash_sql() -> str:
+    """Horner polynomial over char codes, mod MINHASH_P — generated with the
+    SAME fold order as dataprep._with_shingle_hashes (acc = (acc*B + code) % P
+    per step), so the int64 arithmetic is identical in both engines."""
+    acc = "CAST(0 AS BIGINT)"  # seed BIGINT so the fold never overflows INT32
+    for j in range(D.SHINGLE_K):
+        acc = (
+            f"(({acc}) * {D.MH_GRAM_B} + "
+            f"ascii(substr(t, CAST(i + {j} AS INT), 1))) % {D.MINHASH_P}"
+        )
+    return acc
+
+
+def _shingle_hashes_sql(cols: str, out: str = "hs") -> str:
+    """Subquery text: (cols, ``out`` = distinct polynomial gram hashes)."""
+    gram = _gram_hash_sql()
+    return f"""
+  SELECT {cols}, list_distinct(list_transform(
+      range(1, greatest(length(t) - {D.SHINGLE_K - 1}, 1) + 1), i -> {gram})) AS {out}
+  FROM (SELECT {cols}, CASE WHEN length(text) < {D.SHINGLE_K}
+                            THEN rpad(text, {D.SHINGLE_K}, '#')
+                            ELSE text END AS t
+        FROM documents)"""
+
+
 def q_dedup_exact() -> str:
     return """
 SELECT md5(text) AS text_md5, count(*) AS n_dup, min(doc_id) AS rep_doc_id
@@ -108,10 +133,7 @@ def q_minhash_signatures() -> str:
         for j, (a, b) in enumerate(zip(D.HASH_A, D.HASH_B))
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, lang, {_SHINGLES} AS s FROM documents),
-hs AS (
-  SELECT doc_id, lang, list_transform(s, x -> {H.format(x='x')} % {D.MINHASH_P}) AS hs FROM sh)
+WITH hs AS ({_shingle_hashes_sql('doc_id, lang')})
 SELECT doc_id, lang, {sig_cols} FROM hs"""
 
 
@@ -150,7 +172,7 @@ capped AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
   FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+sh AS ({_shingle_hashes_sql('doc_id', out='s')})
 SELECT a_doc, b_doc,
   round(len(list_filter(sa.s, x -> list_contains(sb.s, x))) * 1.0
         / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) AS jaccard
@@ -332,7 +354,12 @@ def q_embed_near_pairs(tau: float = 0.3) -> str:
     cos = f"round({dot} / ({na} * {nb}), 4)"
     return f"""
 WITH bk AS (SELECT vec_id, bucket FROM ({bucket}) t),
-e AS (SELECT e0.vec_id, e0.embedding, bk.bucket FROM embeddings e0 JOIN bk USING (vec_id))
+capped AS (
+  SELECT vec_id, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+    FROM bk) t
+  WHERE rk <= {D.EMB_BUCKET_CAP}),
+e AS (SELECT e0.vec_id, e0.embedding, c.bucket FROM embeddings e0 JOIN capped c USING (vec_id))
 SELECT a.vec_id AS a_vec, b.vec_id AS b_vec, {cos} AS cos
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {tau}"""
@@ -527,7 +554,114 @@ CROSS JOIN q
 ORDER BY cos DESC, e.vec_id LIMIT {k}"""
 
 
+def q_media_geometry() -> str:
+    """Mirror of operators/multimodal.py::media_geometry: EXPECTED geometry
+    and strata-mean features recomputed from the doc_id arithmetic the
+    container synthesizer uses (_make_bmp/_make_wav/_make_mp4) — the Spark
+    side gets them by genuinely parsing the BMP/WAV/MP4 bytes, so equality
+    proves the codecs round-trip.  Rounding: round_even = Python round
+    (half-even); the x10000 BIGINT quantization makes the CSV format-proof."""
+    # image: 24-bit BMP — pixel byte p of the data section (rows padded to 4)
+    px = (
+        "(CASE WHEN (p % row_len) < (width * 3) "
+        "THEN (seed * 31 + (p // row_len) * 131 + (p % row_len)) % 256 "
+        "ELSE 0 END)"
+    )
+    fq_img = (
+        "list_transform(range(0, 8), k -> CAST(round(round_even("
+        f"CAST(list_sum(list_transform(range(k * n_i, (k + 1) * n_i), p -> {px})) AS DOUBLE)"
+        " / (255.0 * n_i), 4) * 10000, 0) AS BIGINT))"
+    )
+    # audio: mono 16-bit PCM — sample i, per-stratum RMS
+    v = "(((seed * 13 + i * 40503) % 65536) - 32768)"
+    fq_wav = (
+        "list_transform(range(0, 8), k -> CAST(round(round_even("
+        f"sqrt(CAST(list_sum(list_transform(range(k * n_w, (k + 1) * n_w), i -> {v} * {v})) AS DOUBLE)"
+        " / n_w) / 32768.0, 4) * 10000, 0) AS BIGINT))"
+    )
+    # video: mdat payload byte i, per-stratum means
+    mb = "((seed * 37 + i * 101) % 256)"
+    fq_mp4 = (
+        "list_transform(range(0, 8), k -> CAST(round(round_even("
+        f"CAST(list_sum(list_transform(range(k * n_m, (k + 1) * n_m), i -> {mb})) AS DOUBLE)"
+        " / (255.0 * n_m), 4) * 10000, 0) AS BIGINT))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS seed, 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS kind
+  FROM documents),
+geom AS (
+  SELECT seed, media_id, kind,
+    CASE kind WHEN 'image' THEN 8 + seed % 24
+              WHEN 'audio' THEN 8000
+              ELSE 16 * (2 + seed % 15) END AS width,
+    CASE kind WHEN 'image' THEN 8 + (seed // 7) % 24
+              WHEN 'audio' THEN 1
+              ELSE 16 * (2 + (seed // 5) % 15) END AS height,
+    CASE kind WHEN 'image' THEN 1
+              WHEN 'audio' THEN 64 + seed % 256
+              ELSE 16 + seed % 48 END AS n_frames
+  FROM base),
+dims AS (
+  SELECT *, ((width * 3 + 3) // 4) * 4 AS row_len,
+    greatest((height * ((width * 3 + 3) // 4) * 4) // 8, 1) AS n_i,
+    greatest(n_frames // 8, 1) AS n_w,
+    greatest((16 * n_frames) // 8, 1) AS n_m
+  FROM geom)
+SELECT media_id, kind, width, height, n_frames,
+  array_to_string(
+    CASE kind WHEN 'image' THEN {fq_img}
+              WHEN 'audio' THEN {fq_wav}
+              ELSE {fq_mp4} END, ',') AS feature_q_csv
+FROM dims"""
+
+
+def q_corpus_curation_mm() -> str:
+    """Mirror of dataprep.corpus_curation_mm: text keep ∧ media geometry
+    floor ∧ media exact-fingerprint rep, over the media_geometry twin."""
+    return f"""
+WITH cc AS ({q_corpus_curation().strip()}),
+mg AS ({q_media_geometry().strip()}),
+m2 AS (
+  SELECT CAST(substr(media_id, 2) AS BIGINT) AS doc_id, kind, width, height,
+         n_frames, feature_q_csv,
+    CASE kind WHEN 'image' THEN width * height >= {D.MEDIA_MIN_IMAGE_AREA}
+              WHEN 'audio' THEN n_frames >= {D.MEDIA_MIN_AUDIO_FRAMES}
+              ELSE n_frames >= {D.MEDIA_MIN_VIDEO_FRAMES} END AS mok
+  FROM mg),
+rep AS (
+  SELECT *, min(doc_id) OVER (
+    PARTITION BY kind, width, height, n_frames, feature_q_csv) AS rep_doc
+  FROM m2)
+SELECT cc.doc_id, cc.keep, rep.kind,
+  CAST(rep.mok AS INT) AS media_ok,
+  CAST(rep.doc_id = rep.rep_doc AS INT) AS is_media_rep,
+  CAST(cc.keep = 1 AND rep.mok AND rep.doc_id = rep.rep_doc AS INT) AS keep_mm
+FROM cc JOIN rep ON rep.doc_id = cc.doc_id"""
+
+
+def q_curated_chunks() -> str:
+    """Mirror of dataprep.curated_chunks: chunks of sequences whose linked
+    document (sequence id mod |documents|) passed corpus_curation_mm."""
+    from go_fluentd_spark import oracle
+
+    return f"""
+WITH ccmm AS ({q_corpus_curation_mm().strip()}),
+ch AS ({oracle.q_sequence_chunks().strip()}),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT ch.doc_id, ch.chunk_id, ch.n_chunk_tok, ch.tokens_csv,
+  CAST(split_part(ch.doc_id, '-', 3) AS BIGINT) % n.n_docs AS link_doc
+FROM ch, n
+WHERE CAST(split_part(ch.doc_id, '-', 3) AS BIGINT) % n.n_docs IN
+      (SELECT doc_id FROM ccmm WHERE keep_mm = 1)"""
+
+
 ORACLES = {
+    "media_geometry": q_media_geometry,
+    "corpus_curation_mm": q_corpus_curation_mm,
+    "curated_chunks": q_curated_chunks,
     "embed_ivf_assign": q_embed_ivf_assign,
     "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
     "embed_near_pairs": q_embed_near_pairs,

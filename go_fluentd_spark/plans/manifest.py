@@ -39,8 +39,12 @@ from go_fluentd_spark.plans import pipeline as P
 
 MANIFEST_SCHEMA = (
     "run_id string, input_sig string, bucket int, sink string, "
-    "rows bigint, state string, committed_at double"
+    "rows bigint, attempts int, state string, committed_at double"
 )
+
+#: write attempts per sink before the drop-vs-retry policy decides
+#: (the reference's 3-retries-then-failchan, elasticsearch.go:286-316)
+MAX_SINK_RETRIES = 3
 
 
 class ManifestedRun:
@@ -62,10 +66,17 @@ class ManifestedRun:
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_dir)
 
     def committed_buckets(self, input_sig: str, n_sinks: int) -> list[int]:
-        """Buckets whose EVERY sink write committed (commit-collector rule)."""
+        """Buckets whose EVERY sink RESOLVED (commit-collector rule,
+        producer.go:161-220): 'committed' = delivered; 'discarded' = the
+        sink's is_discard_when_blocked dropped the batch after retries —
+        the reference marks the message committed either way, the loss is
+        visible only in the audit row."""
         m = (
             self.manifest()
-            .filter((F.col("input_sig") == input_sig) & (F.col("state") == "committed"))
+            .filter(
+                (F.col("input_sig") == input_sig)
+                & F.col("state").isin("committed", "discarded")
+            )
             .groupBy("bucket")
             .agg(F.countDistinct("sink").alias("ns"))
             .filter(F.col("ns") >= n_sinks)
@@ -80,12 +91,22 @@ class ManifestedRun:
         run_id: str | None = None,
         fail_after_sinks: int | None = None,
         with_monitor: bool = False,
+        max_retries: int = MAX_SINK_RETRIES,
+        sink_faults: dict | None = None,
     ) -> dict:
         """Process all not-yet-committed buckets; returns stats.
         ``fail_after_sinks`` injects a crash after N sink writes (tests).
         ``with_monitor`` also writes the per-stage totals table next to the
         manifest (``_monitor/stage_counts``, monitor.go:19-42 analogue) —
-        opt-in because it re-derives every pipeline stage for its counts."""
+        opt-in because it re-derives every pipeline stage for its counts.
+
+        Per-sender drop-vs-retry (producer.go:309-325): each sink write is
+        retried up to ``max_retries`` times; on exhaustion a sink with
+        ``discard_when_blocked=True`` records state='discarded' audit rows
+        (committed-with-loss — the run completes, the bucket resolves) while
+        a non-discarding sink aborts the run with every bucket uncommitted,
+        so resume re-delivers.  ``sink_faults`` (tests) maps sink name ->
+        number of initial write attempts that raise."""
         run_id = run_id or uuid.uuid4().hex[:12]
         input_sig = f"{os.path.abspath(sf_dir)}#b{self.n_buckets}"
         sinks = [s.name for s in cfg.sinks]
@@ -106,18 +127,48 @@ class ManifestedRun:
 
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             written = 0
+            discarded_sinks: list[str] = []
             commit_rows: list[tuple] = []
+            by_name = {s.name: s for s in cfg.sinks}
             for i, sink in enumerate(sinks):
                 part = df.filter(F.col("sink") == sink).drop("sink")
                 path = os.path.join(self.out_dir, f"sink={sink}")
-                part.write.mode("overwrite").partitionBy("bucket").parquet(path)
+                attempts, err = 0, None
+                while attempts < max_retries:
+                    attempts += 1
+                    try:
+                        if sink_faults and sink_faults.get(sink, 0) >= attempts:
+                            raise IOError(f"injected write failure for {sink}")
+                        part.write.mode("overwrite").partitionBy("bucket").parquet(path)
+                        err = None
+                        break
+                    except Exception as e:  # noqa: BLE001 — retry-or-policy below
+                        err = e
+                if err is not None:
+                    if by_name[sink].discard_when_blocked:
+                        # committed-with-loss: the bucket resolves, the loss
+                        # is an explicit audit row (rows=0 delivered)
+                        discarded_sinks.append(sink)
+                        for b in pending:
+                            commit_rows.append(
+                                (run_id, input_sig, b, sink, 0, attempts,
+                                 "discarded", time.time())
+                            )
+                        continue
+                    # non-lossy sink: abort with NOTHING committed — resume
+                    # recomputes every pending bucket (at-least-once)
+                    raise RuntimeError(
+                        f"sink {sink} failed after {attempts} attempts "
+                        "(discard_when_blocked=False -> bucket stays uncommitted)"
+                    ) from err
                 counts = {
                     r.bucket: r.n
                     for r in part.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
                 }
                 for b in pending:
                     commit_rows.append(
-                        (run_id, input_sig, b, sink, counts.get(b, 0), "committed", time.time())
+                        (run_id, input_sig, b, sink, counts.get(b, 0), attempts,
+                         "committed", time.time())
                     )
                 written += sum(counts.values())
                 if fail_after_sinks is not None and i + 1 >= fail_after_sinks:
@@ -141,6 +192,7 @@ class ManifestedRun:
                 "buckets": len(pending),
                 "rows": written,
                 "skipped": len(done),
+                "discarded_sinks": discarded_sinks,
             }
         finally:
             df.unpersist()

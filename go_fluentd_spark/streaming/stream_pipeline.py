@@ -246,9 +246,14 @@ def run_pipeline_stream(
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         if shed_max_per_tag is not None:
             batch_df, shed = shed_overload(batch_df, shed_max_per_tag)
+            # idempotent per batch: foreachBatch is at-least-once, so a retry
+            # re-delivers the same batch_id — dynamic partition overwrite
+            # replaces that batch's partition instead of double-appending
             (
                 shed.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(os.path.join(out_dir, "_shed"))
             )
         batch_df = batch_df.persist()

@@ -54,6 +54,52 @@ def test_minhash_band_cap_bounds_join_groups(spark):
     assert overflow > 0
 
 
+def test_embed_near_pairs_cap_bounds_join_groups(spark, sf_dir):
+    """The fixed-256-bucket legacy ANN path carries the same per-bucket rank
+    cap as the banded path: a forced-hot bucket stays bounded by
+    construction — cap=1 keeps one member per bucket (zero pairs possible),
+    cap=2 keeps at most one pair per bucket, and the default cap loses no
+    pairs on the real testdata (buckets are far below EMB_BUCKET_CAP)."""
+    assert DP.embed_near_pairs(spark, sf_dir, cap=1).count() == 0
+    n_buckets = (
+        DP.embed_lsh_buckets(spark, sf_dir).select("bucket").distinct().count()
+    )
+    assert DP.embed_near_pairs(spark, sf_dir, cap=2).count() <= n_buckets
+    capped = {
+        (r.a_vec, r.b_vec) for r in DP.embed_near_pairs(spark, sf_dir).collect()
+    }
+    uncapped = {
+        (r.a_vec, r.b_vec)
+        for r in DP.embed_near_pairs(spark, sf_dir, cap=10**9).collect()
+    }
+    assert capped == uncapped
+
+
+def test_curated_chunks_composite(spark, sf_dir):
+    """curated_chunks = chunks of exactly the sequences whose linked doc
+    passed the full text+media curation; every emitted chunk's link_doc is a
+    keep_mm doc and chunks of kept sequences are complete (lossless within
+    the kept set)."""
+    keep = {
+        r.doc_id
+        for r in DP.corpus_curation_mm(spark, sf_dir)
+        .filter(F.col("keep_mm") == 1)
+        .collect()
+    }
+    assert keep  # the floors/dedup must not reject everything
+    ch = DP.curated_chunks(spark, sf_dir)
+    links = {r.link_doc for r in ch.select("link_doc").distinct().collect()}
+    assert links <= keep
+    # chunk rows for a kept sequence match sequence_chunks exactly
+    n_docs = DP.docs(spark, sf_dir).count()
+    all_ch = DP.sequence_chunks(spark, sf_dir).withColumn(
+        "_link",
+        F.pmod(F.split_part(F.col("doc_id"), F.lit("-"), F.lit(3)).cast("bigint"), F.lit(n_docs)),
+    )
+    expected = all_ch.filter(F.col("_link").isin(list(keep))).count()
+    assert ch.count() == expected
+
+
 def test_pii_scrub_stats_redaction(spark):
     rows = [
         (1, "mail a.b-c@foo.org and x@y.io plus https://a/b?q=1 tail"),

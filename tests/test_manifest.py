@@ -52,6 +52,61 @@ def test_crash_before_commit_then_resume(spark, sf_dir, tmp_path):
     assert sink_rows(m, "es_general") == expected  # no dupes, no loss
 
 
+def test_discard_when_blocked_commits_with_loss(spark, sf_dir, tmp_path):
+    """producer.go:309-325 drop policy: a permanently failing sink with
+    discard_when_blocked=True records 'discarded' audit rows after the
+    retry budget and the run COMPLETES; transient faults are absorbed by
+    the retries and land as committed rows with attempts>1."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from go_fluentd_spark.config import DEFAULT_CONFIG
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG)
+    cfg.sinks = [
+        dataclasses.replace(s, discard_when_blocked=(s.name == "fluentd_backup"))
+        for s in DEFAULT_CONFIG.sinks
+    ]
+    m = ManifestedRun(spark, str(tmp_path / "out"), n_buckets=8)
+    s = m.run(
+        sf_dir, cfg=cfg,
+        sink_faults={"fluentd_backup": 99, "es_general": 2},  # permanent / transient
+    )
+    assert s["discarded_sinks"] == ["fluentd_backup"]
+    man = m.manifest()
+    by = {
+        (r.sink, r.state): (r.attempts, r.rows)
+        for r in man.groupBy("sink", "state").agg(
+            F.max("attempts").alias("attempts"), F.sum("rows").alias("rows")
+        ).collect()
+    }
+    att, lost = by[("fluentd_backup", "discarded")]
+    assert att == 3 and lost == 0  # loss explicit, retry budget exhausted
+    att_es, rows_es = by[("es_general", "committed")]
+    assert att_es == 3 and rows_es > 0  # transient fault absorbed by retries
+    # every bucket RESOLVED (committed or discarded) -> rerun is a noop
+    assert len(m.committed_buckets(f"{sf_dir}#b8", 3)) == 8
+    s2 = m.run(sf_dir, cfg=cfg)
+    assert s2["buckets"] == 0 and s2["skipped"] == 8
+
+
+def test_blocked_nondiscard_sink_stays_uncommitted(spark, sf_dir, tmp_path):
+    """The non-lossy default: a blocked sink with discard_when_blocked=False
+    aborts the run with nothing committed; resume re-delivers everything."""
+    ref = ManifestedRun(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.run(sf_dir)
+    expected = sink_rows(ref, "es_general")
+
+    m = ManifestedRun(spark, str(tmp_path / "out"), n_buckets=8)
+    with pytest.raises(RuntimeError, match="stays uncommitted"):
+        m.run(sf_dir, sink_faults={"kafka_cp": 99})
+    assert m.committed_buckets(f"{sf_dir}#b8", 3) == []
+    s = m.run(sf_dir)  # resume: full re-delivery, idempotent
+    assert s["buckets"] == 8
+    assert sink_rows(m, "es_general") == expected
+
+
 def test_partial_commit_skips_committed_buckets(spark, sf_dir, tmp_path):
     ref = ManifestedRun(spark, str(tmp_path / "ref"), n_buckets=8)
     ref.run(sf_dir)
