@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     curp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     curp.add_argument("--out", required=True, help="writes kept/ and audit/ parquet")
     curp.add_argument("--cores", type=int, default=None)
+    curp.add_argument(
+        "--with-media", action="store_true",
+        help="fold the multimodal signal in (corpus_curation_mm: geometry "
+        "floors + media dedup rep) and ALSO write chunks/ — the final "
+        "training-ready curated_chunks table",
+    )
 
     stp = sub.add_parser("stream", help="streaming variant over a dir source")
     stp.add_argument("--src", required=True)
@@ -93,20 +99,35 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "curate":
             from pyspark.sql import functions as F
 
-            from go_fluentd_spark.operators.dataprep import corpus_curation, docs
+            from go_fluentd_spark.operators.dataprep import (
+                corpus_curation,
+                corpus_curation_mm,
+                curated_chunks,
+                docs,
+            )
 
-            audit = corpus_curation(spark, args.sf_dir).persist()
+            keep_col = "keep_mm" if args.with_media else "keep"
+            decide = corpus_curation_mm if args.with_media else corpus_curation
+            audit = decide(spark, args.sf_dir).persist()
             try:
                 kept = (
                     docs(spark, args.sf_dir)
-                    .join(audit.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+                    .join(audit.filter(F.col(keep_col) == 1).select("doc_id"), "doc_id")
                 )
                 kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
                 audit.write.mode("overwrite").parquet(os.path.join(args.out, "audit"))
                 stats = {
                     "total": audit.count(),
-                    "kept": audit.filter(F.col("keep") == 1).count(),
+                    "kept": audit.filter(F.col(keep_col) == 1).count(),
                 }
+                if args.with_media:
+                    # the training-ready output: chunks of sequences whose
+                    # linked doc survived the full text+media curation
+                    ch = curated_chunks(spark, args.sf_dir)
+                    ch.write.mode("overwrite").parquet(os.path.join(args.out, "chunks"))
+                    stats["chunks"] = spark.read.parquet(
+                        os.path.join(args.out, "chunks")
+                    ).count()
                 stats["reject_rate"] = (
                     round(1 - stats["kept"] / stats["total"], 4)
                     if stats["total"]
