@@ -262,7 +262,17 @@ def _scaling_evidence(sf_dir: str) -> dict:
         # fallback: never leave the artifact pairless — fire ungated when
         # the remaining budget can fit only one more pair
         last_chance = not pairs and budget_s - elapsed() < 1.5 * pair_cost_est
-        if capable or last_chance:
+        # upgrade: if the only pair(s) so far ran in a garbage window
+        # (ceiling < 0.5 — the host was essentially stalled), a merely
+        # decent window is still a strictly better measurement
+        ceilings = [p["window_ceiling"] or 0.0 for p in pairs]
+        upgrade = (
+            bool(pairs)
+            and max(ceilings) < 0.5
+            and hc["memcpy_efficiency"] >= 0.5
+            and budget_s - elapsed() > 1.2 * pair_cost_est
+        )
+        if capable or last_chance or upgrade:
             run_pair(hc)
         else:
             time.sleep(min(wait_s, max(budget_s - elapsed(), 0)))
@@ -309,6 +319,10 @@ def _scaling_evidence(sf_dir: str) -> dict:
                     best_vs_ceiling and best_vs_ceiling >= 1.0
                 ),
                 "gate_basis": "absolute" if best >= 0.8 else "ceiling-relative",
+                # context for the ceiling-relative reading: a very low
+                # ceiling means the host offered almost no scaling headroom
+                # in ANY window of the hunt (see probe_log)
+                "window_ceilings": [p["window_ceiling"] for p in pairs],
             },
         }
     )
