@@ -174,6 +174,12 @@ _DATAPREP = {
     # ... and the end-to-end training-ready output: chunks of sequences
     # whose linked doc survived the full text+media curation
     "curated_chunks": DP.curated_chunks,
+    # Gopher-style intra-doc repetition signals (dup-occurrence fraction +
+    # top-gram share)
+    "repetition_stats": DP.repetition_stats,
+    # eval-set decontamination screen (distinct-gram overlap vs a held-out
+    # benchmark sample)
+    "benchmark_contamination": DP.benchmark_contamination,
 }
 
 

@@ -121,11 +121,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MH_GRAM_B = 257
 
 
-def _with_shingle_hashes(d: DataFrame, keep_cols: list[str]) -> DataFrame:
-    """Append ``_hs``: DISTINCT k-char-gram polynomial hashes of ``text``.
-    Staged projections (the winnow pattern): ``_codes`` is bound in its own
-    select and consumed twice downstream, so CollapseProject cannot inline
-    the split/ascii back into the HOF lambda (per-element re-eval trap)."""
+def _with_shingle_hashes(
+    d: DataFrame, keep_cols: list[str], distinct: bool = True
+) -> DataFrame:
+    """Append ``_hs``: k-char-gram polynomial hashes of ``text`` (DISTINCT
+    by default — the shingle-set view; ``distinct=False`` keeps every
+    occurrence for repetition statistics).  Staged projections (the winnow
+    pattern): ``_codes`` is bound in its own select and consumed twice
+    downstream, so CollapseProject cannot inline the split/ascii back into
+    the HOF lambda (per-element re-eval trap)."""
     t0 = F.col("text")
     t = F.when(F.length(t0) < SHINGLE_K, F.rpad(t0, SHINGLE_K, "#")).otherwise(t0)
     d = d.select(
@@ -142,10 +146,13 @@ def _with_shingle_hashes(d: DataFrame, keep_cols: list[str]) -> DataFrame:
             acc = (acc * MH_GRAM_B + F.element_at(F.col("_codes"), i + j)) % MINHASH_P
         return acc
 
+    hs = F.transform(F.sequence(F.lit(1), n), gram_hash)
+    if distinct:
+        hs = F.array_distinct(hs)
     return d.select(
         *keep_cols,
         n.alias("_n_grams"),  # second _codes use: keeps CollapseProject out
-        F.array_distinct(F.transform(F.sequence(F.lit(1), n), gram_hash)).alias("_hs"),
+        hs.alias("_hs"),
     )
 
 
@@ -572,6 +579,77 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.col("text"))
     return pii_scrub_stats(d.select("doc_id", injected.alias("text")))
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText repetition
+    filters): per doc, the fraction of char-gram OCCURRENCES that are
+    repeats within the document and the share held by the single most
+    frequent gram — the two statistics that catch boilerplate loops and
+    degenerate generations.  Shape at scale: the per-doc counts are narrow
+    array work; the top-gram count is ONE (doc_id, gram)-keyed shuffle with
+    map-side combine then a per-doc max — linear, no self-joins."""
+    base = _with_shingle_hashes(docs(spark, sf_dir), ["doc_id"], distinct=False)
+    stats = base.select(
+        "doc_id",
+        F.col("_n_grams").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("_hs")).cast("bigint").alias("n_distinct"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_hs").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_gram_n"))
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round((F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"), 4).alias(
+            "intra_dup_rate"
+        ),
+        "top_gram_n",
+        F.round(F.col("top_gram_n") / F.col("n_grams"), 4).alias("top_gram_share"),
+    )
+
+
+BENCH_DOC_MOD = 50  # 1-in-50 docs form the held-out benchmark stand-in
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION check (the n-gram-overlap screen a training
+    corpus runs against its eval sets before shipping): the benchmark is a
+    deterministic 1-in-``BENCH_DOC_MOD`` sample of docs standing in for the
+    held-out eval set; every remaining doc reports how many of its distinct
+    char-grams appear anywhere in the benchmark.  Shape at scale: the
+    benchmark gram set is bounded by the EVAL corpus (tiny vs training
+    data) — the semi-join broadcasts it; doc grams take one map-combined
+    shuffle — linear, same shape as token_ngram_dup_stats."""
+    g = _with_shingle_hashes(docs(spark, sf_dir), ["doc_id"])
+    grams = g.select("doc_id", F.explode("_hs").alias("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_DOC_MOD == 0).select("gram").distinct()
+    )
+    cont = (
+        grams.filter(F.col("doc_id") % BENCH_DOC_MOD != 0)
+        .join(bench, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    tot = g.filter(F.col("doc_id") % BENCH_DOC_MOD != 0).select(
+        "doc_id", F.size("_hs").cast("bigint").alias("n_distinct")
+    )
+    return tot.join(cont, "doc_id", "left").select(
+        "doc_id",
+        "n_distinct",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_distinct"), 4
+        ).alias("contamination_rate"),
+    )
 
 
 TOP_VOCAB_K = 100  # rank cutoff for the vocab coverage table

@@ -32,12 +32,18 @@ def _gram_hash_sql() -> str:
     return acc
 
 
-def _shingle_hashes_sql(cols: str, out: str = "hs") -> str:
-    """Subquery text: (cols, ``out`` = distinct polynomial gram hashes)."""
+def _shingle_hashes_sql(cols: str, out: str = "hs", distinct: bool = True) -> str:
+    """Subquery text: (cols, ``out`` = polynomial gram hashes, distinct by
+    default to mirror dataprep._with_shingle_hashes)."""
     gram = _gram_hash_sql()
+    lst = (
+        f"list_transform(range(1, greatest(length(t) - {D.SHINGLE_K - 1}, 1) + 1),"
+        f" i -> {gram})"
+    )
+    if distinct:
+        lst = f"list_distinct({lst})"
     return f"""
-  SELECT {cols}, list_distinct(list_transform(
-      range(1, greatest(length(t) - {D.SHINGLE_K - 1}, 1) + 1), i -> {gram})) AS {out}
+  SELECT {cols}, {lst} AS {out}
   FROM (SELECT {cols}, CASE WHEN length(text) < {D.SHINGLE_K}
                             THEN rpad(text, {D.SHINGLE_K}, '#')
                             ELSE text END AS t
@@ -618,6 +624,49 @@ SELECT media_id, kind, width, height, n_frames,
 FROM dims"""
 
 
+def q_repetition_stats() -> str:
+    """Mirror of dataprep.repetition_stats (intra-doc gram repetition +
+    top-gram share) over the NON-distinct gram hashes."""
+    return f"""
+WITH h AS ({_shingle_hashes_sql('doc_id', distinct=False)}),
+st AS (
+  SELECT doc_id, len(hs) AS n_grams, len(list_distinct(hs)) AS n_distinct
+  FROM h),
+ex AS (SELECT doc_id, g FROM h, UNNEST(hs) AS t(g)),
+top AS (
+  SELECT doc_id, max(cnt) AS top_gram_n
+  FROM (SELECT doc_id, g, count(*) AS cnt FROM ex GROUP BY doc_id, g) c
+  GROUP BY doc_id)
+SELECT st.doc_id, st.n_grams, st.n_distinct,
+  round((st.n_grams - st.n_distinct) * 1.0 / st.n_grams, 4) AS intra_dup_rate,
+  top.top_gram_n,
+  round(top.top_gram_n * 1.0 / st.n_grams, 4) AS top_gram_share
+FROM st JOIN top USING (doc_id)"""
+
+
+def q_benchmark_contamination() -> str:
+    """Mirror of dataprep.benchmark_contamination: distinct-gram overlap of
+    every non-benchmark doc against the 1-in-BENCH_DOC_MOD benchmark
+    sample's gram set."""
+    return f"""
+WITH h AS ({_shingle_hashes_sql('doc_id')}),
+g AS (SELECT doc_id, g FROM h, UNNEST(hs) AS t(g)),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {D.BENCH_DOC_MOD} = 0),
+tot AS (
+  SELECT doc_id, len(hs) AS n_distinct FROM h
+  WHERE doc_id % {D.BENCH_DOC_MOD} != 0),
+cont AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM g WHERE doc_id % {D.BENCH_DOC_MOD} != 0
+    AND g IN (SELECT g FROM bench)
+  GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_distinct,
+  coalesce(cont.n_contaminated, 0) AS n_contaminated,
+  round(coalesce(cont.n_contaminated, 0) * 1.0 / tot.n_distinct, 4)
+    AS contamination_rate
+FROM tot LEFT JOIN cont USING (doc_id)"""
+
+
 def q_corpus_curation_mm() -> str:
     """Mirror of dataprep.corpus_curation_mm: text keep ∧ media geometry
     floor ∧ media exact-fingerprint rep, over the media_geometry twin."""
@@ -662,6 +711,8 @@ ORACLES = {
     "media_geometry": q_media_geometry,
     "corpus_curation_mm": q_corpus_curation_mm,
     "curated_chunks": q_curated_chunks,
+    "repetition_stats": q_repetition_stats,
+    "benchmark_contamination": q_benchmark_contamination,
     "embed_ivf_assign": q_embed_ivf_assign,
     "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
     "embed_near_pairs": q_embed_near_pairs,

@@ -100,6 +100,23 @@ def test_curated_chunks_composite(spark, sf_dir):
     assert ch.count() == expected
 
 
+def test_repetition_and_contamination_bounds(spark, sf_dir):
+    """Both new corpus-hygiene signals are proper fractions with exact
+    consistency identities: intra_dup = (occurrences - distinct)/occurrences,
+    contamination counts only distinct grams also present in the benchmark
+    sample, and benchmark docs themselves are excluded from the report."""
+    for r in DP.repetition_stats(spark, sf_dir).collect():
+        assert 0 <= r.n_distinct <= r.n_grams
+        assert 1 <= r.top_gram_n <= r.n_grams
+        assert 0.0 <= r.intra_dup_rate <= 1.0 and 0.0 < r.top_gram_share <= 1.0
+    rows = DP.benchmark_contamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % DP.BENCH_DOC_MOD != 0
+        assert 0 <= r.n_contaminated <= r.n_distinct
+        assert 0.0 <= r.contamination_rate <= 1.0
+
+
 def test_pii_scrub_stats_redaction(spark):
     rows = [
         (1, "mail a.b-c@foo.org and x@y.io plus https://a/b?q=1 tail"),
