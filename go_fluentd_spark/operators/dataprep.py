@@ -70,12 +70,30 @@ LANG_MARKERS = {
 }
 
 
+def _fan_out(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Testdata ships each table as ONE parquet file -> one input split, so
+    every narrow per-row operator (gram hashing, winnowing, regex scoring)
+    would run on a single core no matter how many the session has (measured:
+    the whole minhash signature pass pinned to 1 of 32 cores).  A production
+    corpus arrives in many splits and this guard is a no-op; below the
+    session's parallelism we hash-repartition on the row key once — which
+    also co-partitions every downstream self-join on that key."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key)
+    return df
+
+
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
 
 
 def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
 
 
 # ---------------------------------------------------------------------------
