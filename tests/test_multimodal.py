@@ -84,6 +84,44 @@ def test_decode_mp4_rejects_garbage():
         _decode_mp4(b"")
 
 
+def test_decode_mp4_v1_and_largesize():
+    """Conforming real-world containers use encodings our synthesizer
+    doesn't: version-1 mvhd (64-bit times, timescale at offset 20) and
+    size==1 boxes with a 64-bit largesize header.  The parser must read
+    both (ISO/IEC 14496-12 §4.2 / §8.2.2)."""
+    import struct
+
+    from go_fluentd_spark.operators.multimodal import _make_mp4, _mp4_box
+
+    base, width, height, n_frames = _make_mp4(7)
+    # rebuild with a v1 mvhd: 4B ver/flags + 8B+8B times + timescale + 8B dur
+    timescale, duration = 1000, n_frames * 40
+    mvhd_v1 = _mp4_box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16)
+        + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+        + bytes(80),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">I", 0x000007) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", duration) + bytes(8) + struct.pack(">hhHH", 0, 0, 0, 0)
+        + bytes(36)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd_v1 + _mp4_box(b"trak", tkhd))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mdat as a size==1 largesize box
+    mdat_payload = bytes(16 * n_frames)
+    mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_payload))
+        + mdat_payload
+    )
+    w, h, nf, feature = _decode_mp4(ftyp + moov + mdat)
+    assert (w, h, nf) == (width, height, n_frames)
+    assert len(feature) == 8 and all(v == 0.0 for v in feature)  # zeroed mdat
+
+
 def test_frame_sample(spark, sf_dir):
     df = pack_media(spark, sf_dir)
     out = frame_sample(df, every_n=4).first()
