@@ -198,7 +198,9 @@ def _scaling_evidence(sf_dir: str) -> dict:
 
     n_low, n_high = 2, 8
     srep = int(os.environ.get("SPARK_GRAFT_SCALING_REP", "8"))
-    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "4"))
+    # quick pairs are ~60% of a full pair's wall-clock, so the cap is
+    # per-ATTEMPT generous; the budget is the real bound
+    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "6"))
     budget_s = int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1200"))
     gate_eff = float(os.environ.get("SPARK_GRAFT_PROBE_GATE_EFF", "0.70"))
     gate_bw = float(os.environ.get("SPARK_GRAFT_PROBE_GATE_BW", "18.0"))
