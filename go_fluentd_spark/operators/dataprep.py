@@ -70,7 +70,13 @@ LANG_MARKERS = {
 }
 
 
-def _fan_out(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+#: (path, cores) -> scan partition count, so repeated query builds (composite
+#: queries re-open the same table several times per plan) pay the physical
+#: planning + split-enumeration probe ONCE per session (ADVICE r4)
+_SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, key: str, path: str) -> DataFrame:
     """Testdata ships each table as ONE parquet file -> one input split, so
     every narrow per-row operator (gram hashing, winnowing, regex scoring)
     would run on a single core no matter how many the session has (measured:
@@ -79,21 +85,22 @@ def _fan_out(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     session's parallelism we hash-repartition on the row key once — which
     also co-partitions every downstream self-join on that key."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    ck = (path, target)
+    if ck not in _SCAN_PARTS_CACHE:
+        _SCAN_PARTS_CACHE[ck] = df.rdd.getNumPartitions()
+    if _SCAN_PARTS_CACHE[ck] < target:
         df = df.repartition(target, key)
     return df
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan_out(
-        spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
-    )
+    p = f"{sf_dir}/documents.parquet"
+    return _fan_out(spark, spark.read.parquet(p), "doc_id", p)
 
 
 def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan_out(
-        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
-    )
+    p = f"{sf_dir}/embeddings.parquet"
+    return _fan_out(spark, spark.read.parquet(p), "vec_id", p)
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +239,19 @@ def minhash_band_stats(
     )
 
 
+def lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH bucket-hygiene audits (minhash text bands + embedding hyperplane
+    bands) as one table keyed by ``engine`` — the single quarantine view a
+    100 TB run monitors for hot buckets.  Registry consolidation (round 5):
+    one oracle-checked entry covers both audits so every ``queries()`` entry
+    fits the driver's correctness capture."""
+    mh = minhash_band_stats(spark, sf_dir).withColumn("engine", F.lit("minhash"))
+    em = embed_band_stats(spark, sf_dir).withColumn("engine", F.lit("embed"))
+    return mh.unionByName(em).select(
+        "engine", "band", "n_buckets", "max_bucket", "n_overflow"
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, cap: int = MH_BUCKET_CAP
 ) -> DataFrame:
@@ -279,8 +299,26 @@ def minhash_lsh_pairs(
 DEDUP_CC_ITERS = 3  # fixed min-label-propagation rounds (measured: 1 suffices)
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Lineage truncation for iterative loops.  Local mode (tests, single
+    box): ``localCheckpoint`` — executor-storage-backed, cheapest.  Cluster
+    mode: pass ``checkpoint_dir`` to use a RELIABLE ``checkpoint()`` —
+    localCheckpoint pins blocks to specific executors, so one executor loss
+    mid-loop kills a 100 TB job; a reliable checkpoint survives it
+    (VERDICT r4 item 5)."""
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def _cc_clusters(
-    pairs: DataFrame, vertices: DataFrame, id_col: str, n_iter: int
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    n_iter: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Generic bounded connected components: ``pairs(a, b)`` + a vertex
     frame -> (id_col, cluster, cluster_sz, is_rep) via ``n_iter`` rounds of
@@ -289,13 +327,13 @@ def _cc_clusters(
     re-execute per round (measured 61 parquet scans); each round is one
     edge join + map-side min-combine shuffle."""
     a, b = pairs.columns[0], pairs.columns[1]
-    edges = (
+    edges = _truncate_lineage(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .unionByName(
             vertices.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
-        )
-        .localCheckpoint()
+        ),
+        checkpoint_dir,
     )
     labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("lbl"))
     for _ in range(n_iter):
@@ -315,19 +353,26 @@ def _cc_clusters(
 
 
 def embed_dedup_clusters(
-    spark: SparkSession, sf_dir: str, n_iter: int = DEDUP_CC_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = DEDUP_CC_ITERS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-space near-dup clusters: the same bounded CC over the
     capped banded-LSH cosine pairs — semantic dedup's endgame, the twin of
     the text-side dedup_clusters."""
     pairs = embed_banded_pairs(spark, sf_dir).select("a_vec", "b_vec")
     return _cc_clusters(
-        pairs, embs(spark, sf_dir).select("vec_id"), "vec_id", n_iter
+        pairs, embs(spark, sf_dir).select("vec_id"), "vec_id", n_iter,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, n_iter: int = DEDUP_CC_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = DEDUP_CC_ITERS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTER formation — the dedup endgame downstream of pairs:
     connected components over the (capped, verified) MinHash LSH pairs via
@@ -343,7 +388,8 @@ def dedup_clusters(
     component), cluster size, and whether it is the kept representative."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("a_doc", "b_doc")
     return _cc_clusters(
-        pairs, docs(spark, sf_dir).select("doc_id"), "doc_id", n_iter
+        pairs, docs(spark, sf_dir).select("doc_id"), "doc_id", n_iter,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -358,7 +404,10 @@ def _finish_clusters(labels: DataFrame) -> DataFrame:
 
 
 def dedup_clusters_converged(
-    spark: SparkSession, sf_dir: str, max_iter: int = 50
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PRODUCTION variant of :func:`dedup_clusters`: iterate min-label
     propagation to the FIXED POINT (per-round changed-count check, one extra
@@ -370,22 +419,24 @@ def dedup_clusters_converged(
     so lineage stays flat across arbitrarily many rounds."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("a_doc", "b_doc")
     d = docs(spark, sf_dir).select("doc_id")
-    edges = (
+    edges = _truncate_lineage(
         pairs.select(F.col("a_doc").alias("src"), F.col("b_doc").alias("dst"))
         .unionByName(
             pairs.select(F.col("b_doc").alias("src"), F.col("a_doc").alias("dst"))
         )
-        .unionByName(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
-        .localCheckpoint()
+        .unionByName(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))),
+        checkpoint_dir,
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    labels = _truncate_lineage(
+        d.select("doc_id", F.col("doc_id").alias("lbl")), checkpoint_dir
+    )
     for _ in range(max_iter):
-        nxt = (
+        nxt = _truncate_lineage(
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("lbl").alias("lbl"))
-            .withColumnRenamed("src", "doc_id")
-            .localCheckpoint()
+            .withColumnRenamed("src", "doc_id"),
+            checkpoint_dir,
         )
         changed = (
             nxt.alias("n")
@@ -479,15 +530,11 @@ TOKEN_P = 999_999_999_989
 TOKEN_B = 1_000_003
 
 
-def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-level duplication signal (the substring-dedup statistic an LLM
-    training pipeline computes before suffix-array dedup): for every
-    sequence, the fraction of its token 8-grams that also occur in ANOTHER
-    sequence.  Shape at scale: per-row narrow gram hashing (polynomial fold,
-    no token explosion until the gram key), ONE hash shuffle on the gram key
-    with map-side combine (like exact dedup), one join back — no all-pairs
-    anything.  Pure modular arithmetic (int64-safe) so the DuckDB twin
-    reproduces it bit-for-bit."""
+def _token_gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, n_grams, pos, gram) — every token ``TOKEN_NGRAM``-gram
+    of every sequence with its 1-based start position; the gram key is the
+    int64 Horner polynomial both engines share.  Per-row narrow (no token
+    explosion until the gram rows)."""
     from go_fluentd_spark.sources.synth import sequences_df
 
     seq = sequences_df(spark, sf_dir).select("doc_id", "tokens", "n_tok")
@@ -504,21 +551,39 @@ def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) % TOKEN_P
         return acc
 
-    grams = seq.select(
+    return seq.select(
         "doc_id",
+        "n_tok",
         n_grams.alias("n_grams"),
         F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash).alias(
             "_g"
         ),
     ).select(
         "doc_id",
+        "n_tok",
         "n_grams",
-        F.explode(
+        F.posexplode(
             F.when(F.col("n_grams") > 0, F.col("_g")).otherwise(
                 F.slice(F.col("_g"), 1, 0)
             )
-        ).alias("gram"),
-    )
+        ).alias("_p0", "gram"),
+    ).withColumn("pos", F.col("_p0") + 1).drop("_p0")
+
+
+def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplication signal (the substring-dedup statistic an LLM
+    training pipeline computes before suffix-array dedup): for every
+    sequence, the fraction of its token 8-grams that also occur in ANOTHER
+    sequence.  Shape at scale: per-row narrow gram hashing (polynomial fold,
+    no token explosion until the gram key), ONE hash shuffle on the gram key
+    with map-side combine (like exact dedup), one join back — no all-pairs
+    anything.  Pure modular arithmetic (int64-safe) so the DuckDB twin
+    reproduces it bit-for-bit."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    seq = sequences_df(spark, sf_dir).select("doc_id", "tokens", "n_tok")
+    n_grams = F.greatest(F.col("n_tok") - (TOKEN_NGRAM - 1), F.lit(0))
+    grams = _token_gram_positions(spark, sf_dir).select("doc_id", "n_grams", "gram")
     shared = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -544,6 +609,101 @@ def token_ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("dup_rate"),
         )
+    )
+
+
+# substring-dedup spans (the successor of token_ngram_dup_stats' statistic —
+# the distributed restatement of suffix-array ExactSubstr dedup, Lee et al.
+# 2022 "Deduplicating Training Data Makes Language Models Better"): a
+# duplicated substring of length >= TOKEN_NGRAM exists iff some TOKEN_NGRAM-
+# gram is duplicated, so duplicated-gram START positions mark the corpus-wide
+# duplicated regions without ever materializing a global suffix array.
+SUBSTR_CUT_MIN = 24  # min duplicated-substring token length the cut removes
+
+
+def substr_dup_spans(
+    spark: SparkSession, sf_dir: str, cut_min: int = SUBSTR_CUT_MIN
+) -> DataFrame:
+    """Suffix-array-STYLE substring dedup over the sequence table: per
+    sequence, the maximal duplicated token SPANS (runs of positions whose
+    8-gram also occurs in another sequence, merged while their gram windows
+    overlap) and the trainer-facing CUT — tokens covered by spans >=
+    ``cut_min`` removed, survivors re-packed in order.
+
+    Shape at scale (the whole point vs a real suffix array): per-row narrow
+    gram hashing, ONE gram-key shuffle with map-side combine to find shared
+    grams, one semi-join back, then a per-doc window (bounded groups — a doc
+    has <= n_tok dup positions) for run-length merging; the cut itself is a
+    per-row higher-order filter over the packed token array — no token-level
+    shuffle anywhere, linear end to end.  Two disjoint spans stay disjoint
+    by construction (a new run starts only when the gap exceeds the gram
+    width), so covered-token counts are exact interval sums."""
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    L = TOKEN_NGRAM
+    seq = sequences_df(spark, sf_dir).select("doc_id", "tokens", "n_tok")
+    grams = _token_gram_positions(spark, sf_dir)
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    dup = grams.join(shared, "gram", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = runs.groupBy("doc_id", "run_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(L - 1)).alias("e"),
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max(span_len).alias("max_span_tok"),
+        F.sum(span_len).alias("dup_tok"),
+    )
+    cuts = (
+        spans.filter(span_len >= cut_min)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_iv"))
+    )
+    out = (
+        seq.join(per_doc, "doc_id", "left")
+        .join(cuts, "doc_id", "left")
+        .withColumn(
+            "_ivc",
+            F.coalesce("_iv", F.array().cast("array<struct<s:int,e:int>>")),
+        )
+    )
+    # positions are 1-based; the filter index i is 0-based.  _ivc is a plain
+    # per-row attribute (tiny interval list), so the nested HOF stays cheap
+    kept = F.filter(
+        "tokens",
+        lambda x, i: ~F.exists(
+            F.col("_ivc"), lambda v: (i + 1 >= v["s"]) & (i + 1 <= v["e"])
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("max_span_tok", F.lit(0)).cast("bigint").alias("max_span_tok"),
+        F.coalesce("dup_tok", F.lit(0)).cast("bigint").alias("dup_tok"),
+        F.round(F.coalesce("dup_tok", F.lit(0)) / F.col("n_tok"), 4).alias("dup_frac"),
+        F.size(kept).cast("bigint").alias("n_tok_kept"),
+        F.array_join(kept, ",").alias("kept_csv"),
     )
 
 
@@ -811,7 +971,9 @@ def corpus_curation_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curated_chunks(
+    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+) -> DataFrame:
     """THE final training-ready table: training-window chunks of every
     sequence whose linked document survived the FULL curation (text signals
     + multimodal geometry/dedup, corpus_curation_mm) — the end-to-end
@@ -820,12 +982,16 @@ def curated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key; in production this is the corpus's own doc->shard mapping).
     Shape at scale: the keep list is a per-doc key table — the chunk table
     semi-joins it on the link key (co-partitioned hash join, AQE broadcasts
-    when small); chunking itself stays a zero-shuffle narrow explode."""
-    keep = (
-        corpus_curation_mm(spark, sf_dir)
-        .filter(F.col("keep_mm") == 1)
-        .select(F.col("doc_id").alias("link_doc"))
-    )
+    when small); chunking itself stays a zero-shuffle narrow explode.
+
+    ``keep``: optional precomputed keep list (a ``doc_id`` column) — the
+    curate CLI passes its already-materialized audit frame so the expensive
+    decode+curation lineage is not recomputed (ADVICE r4)."""
+    if keep is None:
+        keep = corpus_curation_mm(spark, sf_dir).filter(
+            F.col("keep_mm") == 1
+        ).select("doc_id")
+    keep = keep.select(F.col("doc_id").alias("link_doc"))
     nd = docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
     ch = (
         sequence_chunks(spark, sf_dir)
@@ -1088,6 +1254,20 @@ def embed_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def embed_topk_methods(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """The exact top-k and the IVF-probed approximate top-k in ONE
+    method-keyed table (registry consolidation, round 5): both rankings stay
+    fully oracle-checked while occupying a single driver capture slot.  The
+    cluster column of the IVF side lives in embed_ivf_assign."""
+    b = embed_topk(spark, sf_dir, k).select(
+        F.lit("brute").alias("method"), "vec_id", "label", "cos"
+    )
+    iv = embed_ivf_topk(spark, sf_dir, k).select(
+        F.lit("ivf").alias("method"), "vec_id", "label", "cos"
+    )
+    return b.unionByName(iv)
 
 
 def _plane_weight(i: int, j: int) -> int:
