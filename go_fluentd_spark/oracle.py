@@ -555,6 +555,76 @@ FROM g0 LEFT JOIN dup ON dup.doc_id = g0.doc_id""",
     )
 
 
+def q_substr_dup_spans() -> str:
+    """Mirror of operators/dataprep.py::substr_dup_spans (suffix-array-style
+    duplicated-substring spans + the >=SUBSTR_CUT_MIN cut).  Same int64
+    Horner gram fold; positions come from a lateral range unnest; run
+    merging is the identical lag/sum window; the kept tokens are rebuilt by
+    an anti-EXISTS over the cut intervals with an ordered string_agg."""
+    from go_fluentd_spark.operators import dataprep as D
+
+    L = D.TOKEN_NGRAM
+    pows = [pow(D.TOKEN_B, L - 1 - j, D.TOKEN_P) for j in range(L)]
+    fold = (
+        f"CAST(list_sum(list_transform(range(0, {L}), "
+        f"j -> CAST(tokens[CAST(t.i + j AS INT)] AS BIGINT) * ([{', '.join(map(str, pows))}])[j + 1] "
+        f"% {D.TOKEN_P})) % {D.TOKEN_P} AS BIGINT)"
+    )
+    body = f"""
+g0 AS (
+  SELECT doc_id, n_tok, greatest(n_tok - {L - 1}, 0) AS n_grams, tokens FROM seq),
+grams AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos, {fold} AS gram
+  FROM g0, unnest(range(1, n_grams + 1)) AS t(i)
+  WHERE n_grams > 0),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+dup AS (
+  SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM shared)),
+runs AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {L}
+         OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         THEN 1 ELSE 0 END AS new_run
+  FROM dup),
+runs2 AS (
+  SELECT doc_id, pos,
+    sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs),
+spans AS (
+  SELECT doc_id, run_id, min(pos) AS s, max(pos) + {L - 1} AS e
+  FROM runs2 GROUP BY doc_id, run_id),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(max(e - s + 1) AS BIGINT) AS max_span_tok,
+    CAST(sum(e - s + 1) AS BIGINT) AS dup_tok
+  FROM spans GROUP BY doc_id),
+cuts AS (
+  SELECT doc_id, s, e FROM spans WHERE e - s + 1 >= {D.SUBSTR_CUT_MIN}),
+kept AS (
+  SELECT g0.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tok_kept,
+    string_agg(g0.tokens[CAST(t.i AS INT)], ',' ORDER BY t.i) AS kept_csv
+  FROM g0, unnest(range(1, n_tok + 1)) AS t(i)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c WHERE c.doc_id = g0.doc_id AND t.i BETWEEN c.s AND c.e)
+  GROUP BY g0.doc_id)
+"""
+    return _with(
+        _SEQ_CTES,
+        body,
+        final="""SELECT g0.doc_id, g0.n_tok,
+  coalesce(p.n_spans, 0) AS n_spans,
+  coalesce(p.max_span_tok, 0) AS max_span_tok,
+  coalesce(p.dup_tok, 0) AS dup_tok,
+  round(coalesce(p.dup_tok, 0) * 1.0 / g0.n_tok, 4) AS dup_frac,
+  coalesce(k.n_tok_kept, 0) AS n_tok_kept,
+  coalesce(k.kept_csv, '') AS kept_csv
+FROM g0 LEFT JOIN per_doc p ON p.doc_id = g0.doc_id
+LEFT JOIN kept k ON k.doc_id = g0.doc_id""",
+    )
+
+
 def q_union_sources() -> str:
     """Mirror of the multi-receiver channel merge (controllor.go wires every
     receiver into ONE acceptor stream; SURVEY §2.9 maps it to unionByName)."""

@@ -169,6 +169,47 @@ def test_sequence_chunks_reassemble(spark, sf_dir):
         assert 1 <= rows[-1].n_chunk_tok <= DP.SEQ_CHUNK_LEN
 
 
+def test_substr_dup_spans_guarantees(spark, sf_dir):
+    """Invariants of the suffix-array-style substring dedup: (1) a sequence
+    has dup SPANS iff it has dup GRAMS (agreement with token_ngram_dup_stats);
+    (2) spans are disjoint intervals inside the sequence, so dup_tok <= n_tok
+    and max_span_tok <= dup_tok; (3) the cut only removes tokens covered by
+    spans >= SUBSTR_CUT_MIN: n_tok - dup_tok <= n_tok_kept <= n_tok, and the
+    kept CSV re-packs exactly n_tok_kept tokens in original order."""
+    spans = {r.doc_id: r for r in DP.substr_dup_spans(spark, sf_dir).collect()}
+    dup = {r.doc_id: r for r in DP.token_ngram_dup_stats(spark, sf_dir).collect()}
+    assert spans.keys() == dup.keys()
+    n_with_spans = 0
+    n_cut = 0
+    for d, r in spans.items():
+        assert (r.n_spans > 0) == (dup[d].n_dup_grams > 0)
+        if r.n_spans:
+            n_with_spans += 1
+            assert 0 < r.max_span_tok <= r.dup_tok <= r.n_tok
+        else:
+            assert r.dup_tok == 0 and r.max_span_tok == 0
+        assert r.n_tok - r.dup_tok <= r.n_tok_kept <= r.n_tok
+        kept = [t for t in r.kept_csv.split(",") if t != ""]
+        assert len(kept) == r.n_tok_kept
+        if r.n_tok_kept < r.n_tok:
+            n_cut += 1
+    assert n_with_spans > 0, "corpus should contain duplicated substrings"
+    assert n_cut > 0, "the cut should fire on this corpus"
+    # kept tokens are a SUBSEQUENCE of the original token stream
+    sample = next(d for d, r in spans.items() if 0 < r.n_tok_kept < r.n_tok)
+    from go_fluentd_spark.sources.synth import sequences_df
+
+    orig = (
+        sequences_df(spark, sf_dir)
+        .filter(F.col("doc_id") == sample)
+        .collect()[0]
+        .tokens
+    )
+    kept = [int(t) for t in spans[sample].kept_csv.split(",")]
+    it = iter(orig)
+    assert all(any(o == k for o in it) for k in kept), "kept not a subsequence"
+
+
 def test_dedup_clusters_fixed_point_and_cover(spark, sf_dir):
     """Min-label propagation must have CONVERGED within the fixed rounds
     (one extra round changes nothing), every verified pair must land in one
@@ -197,6 +238,33 @@ def test_dedup_clusters_fixed_point_and_cover(spark, sf_dir):
     conv = {
         r.doc_id: r.cluster
         for r in DP.dedup_clusters_converged(spark, sf_dir).collect()
+    }
+    assert conv == base
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """Cluster-mode knob: with ``checkpoint_dir`` set, the CC loops truncate
+    lineage through a RELIABLE checkpoint (survives executor loss) instead
+    of localCheckpoint — results must be identical and the checkpoint files
+    must actually land in the given dir."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    base = {
+        r.doc_id: (r.cluster, r.cluster_sz, r.is_rep)
+        for r in DP.dedup_clusters(spark, sf_dir).collect()
+    }
+    rel = {
+        r.doc_id: (r.cluster, r.cluster_sz, r.is_rep)
+        for r in DP.dedup_clusters(spark, sf_dir, checkpoint_dir=ckpt).collect()
+    }
+    assert rel == base
+    assert any(files for _, _, files in os.walk(ckpt)), "no reliable checkpoint written"
+    conv = {
+        r.doc_id: (r.cluster, r.cluster_sz, r.is_rep)
+        for r in DP.dedup_clusters_converged(
+            spark, sf_dir, checkpoint_dir=ckpt
+        ).collect()
     }
     assert conv == base
 
