@@ -21,6 +21,7 @@ two genuinely streaming-only pieces:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -216,6 +217,31 @@ def shed_overload(
     return kept, shed
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch write under at-least-once ``foreachBatch``: the
+    batch's rows land in a ``batch_id=<n>`` partition via dynamic partition
+    overwrite, so a RETRIED micro-batch replaces its own partition instead
+    of double-appending (journal dedup semantics, ``journal.go:41,58``).
+
+    Refuses a legacy flat layout: an ``out_dir`` written by the pre-round-5
+    ``mode("append")`` path holds unpartitioned files at the table root, and
+    mixing those with ``batch_id=N`` dirs makes the directory unreadable as
+    one table — resume on an upgraded layout requires a fresh out_dir."""
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        raise ValueError(
+            f"{path} holds a legacy flat (unpartitioned) parquet layout; "
+            "use a fresh out_dir — per-batch idempotent writes partition "
+            "by batch_id"
+        )
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def run_pipeline_stream(
     spark: SparkSession,
     src_dir: str,
@@ -232,8 +258,6 @@ def run_pipeline_stream(
     at the source (see read_sequence_stream); ``shed_max_per_tag`` arms the
     LOSSY drop-on-overload path (see shed_overload) — shed rows land in the
     ``_shed`` audit table, mirroring the reference's drop counter."""
-    import os
-
     df = with_ingest_columns(
         read_sequence_stream(spark, src_dir, max_files_per_trigger)
     )
@@ -244,18 +268,13 @@ def run_pipeline_stream(
     df = msgid(df, cfg)
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # every write below is idempotent per batch (foreachBatch is
+        # at-least-once: a retry re-delivers the same batch_id, and dynamic
+        # partition overwrite replaces that batch's partition instead of
+        # double-appending) — the _shed audit, each sink table, AND _counts
         if shed_max_per_tag is not None:
             batch_df, shed = shed_overload(batch_df, shed_max_per_tag)
-            # idempotent per batch: foreachBatch is at-least-once, so a retry
-            # re-delivers the same batch_id — dynamic partition overwrite
-            # replaces that batch's partition instead of double-appending
-            (
-                shed.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(os.path.join(out_dir, "_shed"))
-            )
+            _write_batch_partition(shed, os.path.join(out_dir, "_shed"), batch_id)
         batch_df = batch_df.persist()
         try:
             for sink in cfg.sinks:
@@ -267,17 +286,12 @@ def run_pipeline_stream(
                         else (F.col("tag_base") == t)
                     )
                     conds = c if conds is None else (conds | c)
-                part = batch_df.filter(conds)
-                part.drop("tokens", "args_map").write.mode("append").parquet(
-                    os.path.join(out_dir, f"sink={sink.name}")
+                part = batch_df.filter(conds).drop("tokens", "args_map")
+                _write_batch_partition(
+                    part, os.path.join(out_dir, f"sink={sink.name}"), batch_id
                 )
-            (
-                batch_df.groupBy("tag")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(os.path.join(out_dir, "_counts"))
-            )
+            counts = batch_df.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+            _write_batch_partition(counts, os.path.join(out_dir, "_counts"), batch_id)
         finally:
             batch_df.unpersist()
 

@@ -42,6 +42,47 @@ def test_stream_two_batches_with_restart(spark, sf_dir, tmp_path):
     assert counts.agg(F.sum("n")).collect()[0][0] >= len(ids)
 
 
+def test_stream_batch_retry_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a crash after the sink writes but
+    before the offset commit re-delivers the SAME micro-batch (same
+    batch_id) on restart.  Every per-batch write (sink tables, _counts)
+    overwrites its own batch_id partition, so the retry leaves row counts
+    unchanged — simulated by discarding the checkpoint so the identical
+    files re-deliver as batch 0 against the same out_dir."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batch(spark, sf_dir, src, 0)
+    q = run_pipeline_stream(spark, src, out, str(tmp_path / "ck"), with_concat=False)
+    q.awaitTermination(120)
+    sink_n = spark.read.parquet(os.path.join(out, "sink=es_general")).count()
+    counts_n = spark.read.parquet(os.path.join(out, "_counts")).agg(
+        F.sum("n")
+    ).collect()[0][0]
+
+    # retry: fresh checkpoint -> the same input re-delivered as batch_id 0
+    q2 = run_pipeline_stream(spark, src, out, str(tmp_path / "ck2"), with_concat=False)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "sink=es_general")).count() == sink_n
+    assert (
+        spark.read.parquet(os.path.join(out, "_counts")).agg(F.sum("n")).collect()[0][0]
+        == counts_n
+    )
+
+
+def test_legacy_flat_layout_refused(spark, tmp_path):
+    """A pre-upgrade out_dir with flat (unpartitioned) parquet at a table
+    root must be refused, not silently mixed with batch_id=N dirs."""
+    import pytest
+
+    from go_fluentd_spark.streaming.stream_pipeline import _write_batch_partition
+
+    path = str(tmp_path / "_counts")
+    df = spark.range(3).select(F.lit("t").alias("tag"), F.col("id").alias("n"))
+    df.write.mode("append").parquet(path)  # legacy flat layout
+    with pytest.raises(ValueError, match="legacy flat"):
+        _write_batch_partition(df, path, 0)
+
+
 def test_stream_lossy_drop_on_overload(spark, sf_dir, tmp_path):
     """LOSSY backpressure (acceptorfilters/pipeline.go:170-180): with the
     shed path armed, a micro-batch delivering more rows for one tag than the
