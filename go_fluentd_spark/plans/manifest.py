@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -147,7 +148,16 @@ class ManifestedRun:
                 if err is not None:
                     if by_name[sink].discard_when_blocked:
                         # committed-with-loss: the bucket resolves, the loss
-                        # is an explicit audit row (rows=0 delivered)
+                        # is an explicit audit row (rows=0 delivered).  A
+                        # retry that died MID-write may have left partial
+                        # parquet under the bucket partitions — readers must
+                        # never see data the audit says was dropped, so
+                        # best-effort delete those partitions first
+                        for b in pending:
+                            shutil.rmtree(
+                                os.path.join(path, f"bucket={b}"),
+                                ignore_errors=True,
+                            )
                         discarded_sinks.append(sink)
                         for b in pending:
                             commit_rows.append(

@@ -69,11 +69,18 @@ def test_discard_when_blocked_commits_with_loss(spark, sf_dir, tmp_path):
         for s in DEFAULT_CONFIG.sinks
     ]
     m = ManifestedRun(spark, str(tmp_path / "out"), n_buckets=8)
+    # simulate a retry that died MID-write: partial parquet left under a
+    # bucket partition of the about-to-be-discarded sink — the discard path
+    # must delete it (readers must never see data the audit says was lost)
+    partial = tmp_path / "out" / "sink=fluentd_backup" / "bucket=0"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"garbage")
     s = m.run(
         sf_dir, cfg=cfg,
         sink_faults={"fluentd_backup": 99, "es_general": 2},  # permanent / transient
     )
     assert s["discarded_sinks"] == ["fluentd_backup"]
+    assert not partial.exists(), "partial bucket data survived the discard"
     man = m.manifest()
     by = {
         (r.sink, r.state): (r.attempts, r.rows)
