@@ -122,8 +122,15 @@ def main(argv: list[str] | None = None) -> int:
                 }
                 if args.with_media:
                     # the training-ready output: chunks of sequences whose
-                    # linked doc survived the full text+media curation
-                    ch = curated_chunks(spark, args.sf_dir)
+                    # linked doc survived the full text+media curation;
+                    # the keep list comes from the ALREADY-persisted audit
+                    # frame, so the decode+curation lineage (the most
+                    # expensive stage) is not recomputed
+                    ch = curated_chunks(
+                        spark,
+                        args.sf_dir,
+                        keep=audit.filter(F.col("keep_mm") == 1).select("doc_id"),
+                    )
                     ch.write.mode("overwrite").parquet(os.path.join(args.out, "chunks"))
                     stats["chunks"] = spark.read.parquet(
                         os.path.join(args.out, "chunks")
