@@ -631,25 +631,29 @@ def substr_dup_spans(
     ``cut_min`` removed, survivors re-packed in order.
 
     Shape at scale (the whole point vs a real suffix array): per-row narrow
-    gram hashing, ONE gram-key shuffle with map-side combine to find shared
-    grams, one semi-join back, then a per-doc window (bounded groups — a doc
-    has <= n_tok dup positions) for run-length merging; the cut itself is a
-    per-row higher-order filter over the packed token array — no token-level
-    shuffle anywhere, linear end to end.  Two disjoint spans stay disjoint
-    by construction (a new run starts only when the gap exceeds the gram
-    width), so covered-token counts are exact interval sums."""
+    gram hashing executed ONCE (the duplicated-gram test is a min!=max
+    window over the gram partition — one gram-key shuffle, no second replay
+    of the gram pipeline for a semi-join probe side), then a per-doc window
+    (bounded groups — a doc has <= n_tok dup positions) for run-length
+    merging, then ONE per-doc aggregation producing the span stats AND the
+    cut interval list together (a conditional collect_list, so the span
+    frame is consumed once); the cut itself is a per-row higher-order
+    filter over the packed token array — no token-level shuffle anywhere,
+    linear end to end.  Two disjoint spans stay disjoint by construction (a
+    new run starts only when the gap exceeds the gram width), so
+    covered-token counts are exact interval sums."""
     from go_fluentd_spark.sources.synth import sequences_df
 
     L = TOKEN_NGRAM
     seq = sequences_df(spark, sf_dir).select("doc_id", "tokens", "n_tok")
     grams = _token_gram_positions(spark, sf_dir)
-    shared = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram")
+    wg = Window.partitionBy("gram")
+    dup = (
+        grams.withColumn("_mn", F.min("doc_id").over(wg))
+        .withColumn("_mx", F.max("doc_id").over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "pos")
     )
-    dup = grams.join(shared, "gram", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         dup.withColumn("_prev", F.lag("pos").over(w))
@@ -673,19 +677,15 @@ def substr_dup_spans(
         F.count(F.lit(1)).alias("n_spans"),
         F.max(span_len).alias("max_span_tok"),
         F.sum(span_len).alias("dup_tok"),
+        # collect_list skips NULLs: only the >= cut_min spans land in the
+        # interval list, so stats and cut come out of ONE aggregation
+        F.collect_list(
+            F.when(span_len >= cut_min, F.struct("s", "e"))
+        ).alias("_iv"),
     )
-    cuts = (
-        spans.filter(span_len >= cut_min)
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("_iv"))
-    )
-    out = (
-        seq.join(per_doc, "doc_id", "left")
-        .join(cuts, "doc_id", "left")
-        .withColumn(
-            "_ivc",
-            F.coalesce("_iv", F.array().cast("array<struct<s:int,e:int>>")),
-        )
+    out = seq.join(per_doc, "doc_id", "left").withColumn(
+        "_ivc",
+        F.coalesce("_iv", F.array().cast("array<struct<s:int,e:int>>")),
     )
     # positions are 1-based; the filter index i is 0-based.  _ivc is a plain
     # per-row attribute (tiny interval list), so the nested HOF stays cheap
