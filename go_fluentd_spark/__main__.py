@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         "floors + media dedup rep) and ALSO write chunks/ — the final "
         "training-ready curated_chunks table",
     )
+    curp.add_argument(
+        "--substr-cut", action="store_true",
+        help="also write substr/ — the substring-deduplicated sequence "
+        "table (substr_dup_spans: duplicated spans >= SUBSTR_CUT_MIN "
+        "tokens removed, survivors re-packed)",
+    )
 
     stp = sub.add_parser("stream", help="streaming variant over a dir source")
     stp.add_argument("--src", required=True)
@@ -135,6 +141,19 @@ def main(argv: list[str] | None = None) -> int:
                     stats["chunks"] = spark.read.parquet(
                         os.path.join(args.out, "chunks")
                     ).count()
+                if args.substr_cut:
+                    from go_fluentd_spark.operators.dataprep import substr_dup_spans
+
+                    sd = substr_dup_spans(spark, args.sf_dir)
+                    sd.write.mode("overwrite").parquet(os.path.join(args.out, "substr"))
+                    cut = sd.filter(F.col("n_tok_kept") < F.col("n_tok"))
+                    stats["substr_cut_seqs"] = cut.count()
+                    stats["substr_cut_tokens"] = (
+                        sd.agg(
+                            F.sum(F.col("n_tok") - F.col("n_tok_kept"))
+                        ).collect()[0][0]
+                        or 0
+                    )
                 stats["reject_rate"] = (
                     round(1 - stats["kept"] / stats["total"], 4)
                     if stats["total"]
