@@ -55,6 +55,23 @@ def test_sequence_chunks_is_narrow(spark):
         assert _n(plan, op) == 0
 
 
+def test_substr_dup_spans_single_gram_pass(spark):
+    """The round-5 restructure's plan properties: the gram pipeline appears
+    ONCE per consumer side (2 Generates total: the gram posexplode feeding
+    the window + the final seq branch has none — vs 4 pre-restructure), the
+    whole query needs at most 5 non-broadcast exchanges (synth repartition,
+    gram-key window, doc-key windows/aggs), and nothing sort-merges or
+    nested-loops; the token-level cut itself never shuffles (no exchange
+    after the per-doc aggregation join)."""
+    plan = _plan(DP.substr_dup_spans(spark, SF))
+    assert _n(plan, "Generate") <= 2, plan[:2000]
+    assert _n(plan, "Exchange") <= 5, plan[:2000]
+    assert _n(plan, "SortMergeJoin") == 0
+    assert _n(plan, "CartesianProduct") == 0
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0
+    assert _n(plan, "ArrowEvalPython") == 0  # the cut is a JVM-side HOF
+
+
 def test_lsh_pair_joins_never_nested_loop(spark):
     for df in (
         DP.minhash_lsh_pairs(spark, SF),
