@@ -163,10 +163,16 @@ def main(argv: list[str] | None = None) -> int:
             finally:
                 audit.unpersist()
         elif args.cmd == "stream":
-            from go_fluentd_spark.streaming.stream_pipeline import run_pipeline_stream
+            from go_fluentd_spark.streaming.stream_pipeline import (
+                drain_and_stop,
+                run_pipeline_stream,
+            )
 
             q = run_pipeline_stream(spark, args.src, args.out, args.checkpoint)
-            q.awaitTermination()
+            # availableNow + the stateful concator never self-terminates
+            # (empty timeout batches loop) — drain: all input processed,
+            # open sessions gap-flushed, then stop
+            drain_and_stop(q)
         return 0
     finally:
         spark.stop()

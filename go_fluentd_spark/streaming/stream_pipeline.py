@@ -242,6 +242,50 @@ def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
+def drain_and_stop(
+    q, timeout_s: float = 120.0, poll_s: float = 0.25, settle_batches: int = 2
+) -> None:
+    """Drain an ``availableNow`` pipeline query and stop it.
+
+    With a processing-time-timeout stateful operator in the plan (the
+    concator), Spark considers EVERY batch to potentially fire timeouts
+    (``shouldRunAnotherBatch`` is unconditionally true for
+    ProcessingTimeTimeout), so an availableNow query never self-terminates:
+    it loops empty micro-batches forever, ``awaitTermination`` blocks, and —
+    measured here — ``processAllAvailable`` never returns either.  The
+    working shutdown is to watch committed batch progress: once
+    ``settle_batches`` CONSECUTIVE batches commit with zero input rows AND
+    an empty state store (every open concat session hit its ConcatorWait gap
+    timeout, flushed, and was removed), everything the source had is in the
+    sinks and the query is safe to ``stop()``.
+
+    Stateless availableNow pipelines (``with_concat=False``) self-terminate;
+    for those the ``q.isActive`` guard exits immediately.  ``timeout_s`` is
+    a hard deadline and must exceed the concat gap (default 5 s)."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    last_batch, streak = -1, 0
+    while q.isActive and time.monotonic() < deadline:
+        p = q.lastProgress
+        if p is not None and p.get("batchId", -1) != last_batch:
+            last_batch = p.get("batchId", -1)
+            state_empty = all(
+                so.get("numRowsTotal", 0) == 0
+                for so in p.get("stateOperators", [])
+            )
+            if p.get("numInputRows", 0) == 0 and state_empty:
+                streak += 1
+                if streak >= settle_batches:
+                    break
+            else:
+                streak = 0
+        time.sleep(poll_s)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(60)
+
+
 def run_pipeline_stream(
     spark: SparkSession,
     src_dir: str,
@@ -258,6 +302,21 @@ def run_pipeline_stream(
     at the source (see read_sequence_stream); ``shed_max_per_tag`` arms the
     LOSSY drop-on-overload path (see shed_overload) — shed rows land in the
     ``_shed`` audit table, mirroring the reference's drop counter."""
+    # refuse a legacy layout where a sink dir holds flat (un-batch_id-
+    # partitioned) parquet — same rule _write_batch_partition applies to
+    # _counts/_shed, checked once here for the unified sink table
+    for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        d = os.path.join(out_dir, name)
+        if (
+            name.startswith("sink=")
+            and os.path.isdir(d)
+            and any(f.endswith(".parquet") for f in os.listdir(d))
+        ):
+            raise ValueError(
+                f"{d} holds a legacy flat (unpartitioned) parquet layout; "
+                "use a fresh out_dir — per-batch idempotent writes partition "
+                "by batch_id"
+            )
     df = with_ingest_columns(
         read_sequence_stream(spark, src_dir, max_files_per_trigger)
     )
@@ -267,29 +326,53 @@ def run_pipeline_stream(
     df = parse(df, cfg)
     df = msgid(df, cfg)
 
+    # sink fan-out as ONE column expression: per sink, a WHEN over its tag
+    # conditions yields the sink name (NULL = no match); a row duplicates
+    # into every matching sink (cp -> 2), rows matching none drop out at the
+    # explode.  This turns K per-sink filtered writes (K job launches per
+    # micro-batch, each re-reading the persisted batch) into a SINGLE write
+    # partitioned by (sink, batch_id) — same on-disk layout
+    # (out/sink=<name>/batch_id=<n>), one job.  At cluster scale that is K-1
+    # fewer passes over every micro-batch plus K-1 fewer commit rounds.
+    sink_whens = []
+    for sink in cfg.sinks:
+        conds = None
+        for t in sink.tags:
+            c = (
+                (F.col("tag") == t)
+                if any(t.endswith("." + e) for e in cfg.envs)
+                else (F.col("tag_base") == t)
+            )
+            conds = c if conds is None else (conds | c)
+        sink_whens.append(F.when(conds, F.lit(sink.name)))
+
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         # every write below is idempotent per batch (foreachBatch is
         # at-least-once: a retry re-delivers the same batch_id, and dynamic
         # partition overwrite replaces that batch's partition instead of
-        # double-appending) — the _shed audit, each sink table, AND _counts
+        # double-appending) — the _shed audit, the unified sink table, AND
+        # _counts
         if shed_max_per_tag is not None:
             batch_df, shed = shed_overload(batch_df, shed_max_per_tag)
             _write_batch_partition(shed, os.path.join(out_dir, "_shed"), batch_id)
         batch_df = batch_df.persist()
         try:
-            for sink in cfg.sinks:
-                conds = None
-                for t in sink.tags:
-                    c = (
-                        (F.col("tag") == t)
-                        if any(t.endswith("." + e) for e in cfg.envs)
-                        else (F.col("tag_base") == t)
-                    )
-                    conds = c if conds is None else (conds | c)
-                part = batch_df.filter(conds).drop("tokens", "args_map")
-                _write_batch_partition(
-                    part, os.path.join(out_dir, f"sink={sink.name}"), batch_id
+            fanned = (
+                batch_df.withColumn(
+                    "sink",
+                    F.explode(
+                        F.filter(F.array(*sink_whens), lambda x: x.isNotNull())
+                    ),
                 )
+                .drop("tokens", "args_map")
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            (
+                fanned.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("sink", "batch_id")
+                .parquet(out_dir)
+            )
             counts = batch_df.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
             _write_batch_partition(counts, os.path.join(out_dir, "_counts"), batch_id)
         finally:

@@ -7,7 +7,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from go_fluentd_spark.sources.synth import sequences_df
-from go_fluentd_spark.streaming.stream_pipeline import run_pipeline_stream
+from go_fluentd_spark.streaming.stream_pipeline import drain_and_stop, run_pipeline_stream
 
 
 def _write_batch(spark, sf_dir, dest, part):
@@ -24,12 +24,12 @@ def test_stream_two_batches_with_restart(spark, sf_dir, tmp_path):
     # batch 1: half the rows
     _write_batch(spark, sf_dir, src, 0)
     q = run_pipeline_stream(spark, src, out, ckpt)
-    q.awaitTermination(120)
+    drain_and_stop(q)
 
     # batch 2: remaining rows; NEW query from the same checkpoint (restart)
     _write_batch(spark, sf_dir, src, 1)
     q2 = run_pipeline_stream(spark, src, out, ckpt)
-    q2.awaitTermination(120)
+    drain_and_stop(q2)
 
     got = spark.read.parquet(os.path.join(out, "sink=es_general"))
     # the batch pipeline (no streaming gap-flush pending sessions) is the
@@ -53,7 +53,7 @@ def test_stream_batch_retry_idempotent(spark, sf_dir, tmp_path):
     out = str(tmp_path / "out")
     _write_batch(spark, sf_dir, src, 0)
     q = run_pipeline_stream(spark, src, out, str(tmp_path / "ck"), with_concat=False)
-    q.awaitTermination(120)
+    drain_and_stop(q)
     sink_n = spark.read.parquet(os.path.join(out, "sink=es_general")).count()
     counts_n = spark.read.parquet(os.path.join(out, "_counts")).agg(
         F.sum("n")
@@ -61,7 +61,7 @@ def test_stream_batch_retry_idempotent(spark, sf_dir, tmp_path):
 
     # retry: fresh checkpoint -> the same input re-delivered as batch_id 0
     q2 = run_pipeline_stream(spark, src, out, str(tmp_path / "ck2"), with_concat=False)
-    q2.awaitTermination(120)
+    drain_and_stop(q2)
     assert spark.read.parquet(os.path.join(out, "sink=es_general")).count() == sink_n
     assert (
         spark.read.parquet(os.path.join(out, "_counts")).agg(F.sum("n")).collect()[0][0]
@@ -98,7 +98,7 @@ def test_stream_lossy_drop_on_overload(spark, sf_dir, tmp_path):
     q0 = run_pipeline_stream(
         spark, src, str(tmp_path / "out0"), str(tmp_path / "ck0"), with_concat=False
     )
-    q0.awaitTermination(120)
+    drain_and_stop(q0)
     counts0 = spark.read.parquet(str(tmp_path / "out0/_counts"))
     total0 = counts0.agg(F.sum("n")).collect()[0][0]
 
@@ -107,7 +107,7 @@ def test_stream_lossy_drop_on_overload(spark, sf_dir, tmp_path):
         spark, src, str(tmp_path / "out1"), str(tmp_path / "ck1"),
         with_concat=False, shed_max_per_tag=cap,
     )
-    q.awaitTermination(120)
+    drain_and_stop(q)
     counts1 = spark.read.parquet(str(tmp_path / "out1/_counts"))
     shed = spark.read.parquet(str(tmp_path / "out1/_shed"))
     delivered = counts1.agg(F.sum("n")).collect()[0][0]

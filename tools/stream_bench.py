@@ -1,0 +1,153 @@
+"""Streaming-mode end-to-end throughput (the APPLES-TO-APPLES number vs the
+reference daemon): the reference is a streaming pipeline measured at 19,111
+msg/s end-to-end (BASELINE.md); our headline bench numbers are batch-mode.
+This tool measures the SAME engine code through Structured Streaming —
+file-source micro-batches -> stateful multiline concat
+(``applyInPandasWithState``) -> acceptor chain -> parse -> msgid ->
+``foreachBatch`` per-sink idempotent writes + per-batch counts — and reports
+delivered rows per second of wall-clock from query start to termination,
+checkpointing included.
+
+Protocol (same discipline as bench.py): the source is pre-written as N
+parquet files (micro-batch boundaries = ``maxFilesPerTrigger``), one untimed
+warm-up run primes Arrow workers + codegen, then best-of-``reps`` timed runs,
+each against a FRESH out/checkpoint dir (a used checkpoint would turn the
+run into a no-op resume).
+
+The TIMED section is query start -> the commit of the batch in which the
+LAST source row was consumed (tracked via ``recentProgress`` input-row
+counts; progress is only reported for COMMITTED batches, so at that point
+every source row is parsed and sink-visible).  The ConcatorWait gap flush
+of still-open sessions is a fixed 5 s latency constant, not throughput, so
+the tail drain (``drain_and_stop``) runs untimed; its rows still land in
+``delivered``.  An availableNow query with the stateful concator NEVER
+self-terminates (processing-time timeouts make Spark loop empty batches) —
+``awaitTermination``/``processAllAvailable`` both block forever and must
+not be used here.
+
+Usage:
+    python tools/stream_bench.py [sf_dir] [cores] [reps]
+
+Prints one JSON line:
+    {"metric": "stream_pipeline", "rows_per_sec": N, "rows": M,
+     "batches": K, "value": sec, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from go_fluentd_spark.session import build_spark
+from go_fluentd_spark.sources.synth import sequences_df
+from go_fluentd_spark.streaming.stream_pipeline import (
+    drain_and_stop,
+    run_pipeline_stream,
+)
+
+N_SRC_FILES = 32  # source files; with files-per-trigger below -> 4 batches
+FILES_PER_TRIGGER = 8
+
+
+def run_stream_bench(spark, sf_dir: str, work_dir: str, reps: int = 2) -> dict:
+    """One warm-up + best-of-``reps`` streaming runs; returns the result
+    dict.  Reusable from bench.py (shares its session).  The source is
+    replicated ``SPARK_GRAFT_SEQ_REP`` times (default 4 -> 600k rows at
+    sf0.1) — the same input-size protocol as bench.py's batch headline."""
+    seq_rep = int(os.environ.get("SPARK_GRAFT_SEQ_REP", "4"))
+    src = os.path.join(work_dir, "src")
+    (
+        sequences_df(spark, sf_dir, rep=seq_rep)
+        .repartition(N_SRC_FILES)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    n_rows = spark.read.parquet(src).count()
+
+    def one_run(tag: str) -> tuple[float, int, int]:
+        out = os.path.join(work_dir, f"out-{tag}")
+        ckpt = os.path.join(work_dir, f"ckpt-{tag}")
+        for d in (out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+        t0 = time.perf_counter()
+        q = run_pipeline_stream(
+            spark, src, out, ckpt, max_files_per_trigger=FILES_PER_TRIGGER
+        )
+        # timed: poll committed-batch progress until every source row is in
+        consumed, seen = 0, set()
+        deadline = time.time() + 1800
+        while consumed < n_rows and time.time() < deadline:
+            for p in q.recentProgress:
+                bid = p.get("batchId", -1)
+                if bid not in seen:
+                    seen.add(bid)
+                    consumed += p.get("numInputRows", 0)
+            if consumed < n_rows:
+                time.sleep(0.1)
+        dt = time.perf_counter() - t0
+        if consumed < n_rows:
+            raise RuntimeError(f"drain deadline: consumed {consumed}/{n_rows}")
+        drain_and_stop(q)  # untimed: gap-flush open sessions, then stop
+        delivered = (
+            spark.read.parquet(os.path.join(out, "_counts"))
+            .groupBy()
+            .sum("n")
+            .collect()[0][0]
+        )
+        n_batches = (
+            spark.read.parquet(os.path.join(out, "_counts"))
+            .select("batch_id")
+            .distinct()
+            .count()
+        )
+        return dt, int(delivered), n_batches
+
+    one_run("warmup")  # Arrow workers + codegen + state-store spin-up
+    best = None
+    for i in range(reps):
+        dt, delivered, n_batches = one_run(f"r{i}")
+        if best is None or dt < best[0]:
+            best = (dt, delivered, n_batches)
+    dt, delivered, n_batches = best
+    return {
+        "metric": "stream_pipeline",
+        "unit": "sec",
+        "value": round(dt, 3),
+        "rows": n_rows,
+        "delivered": delivered,
+        "batches": n_batches,
+        "rows_per_sec": int(n_rows / dt),
+        "files_per_trigger": FILES_PER_TRIGGER,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-tmp"
+    spark = build_spark("stream-bench", cores=cores, extra_conf=extra)
+    work = tempfile.mkdtemp(prefix="stream-bench-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    try:
+        result = run_stream_bench(spark, sf_dir, work, reps=reps)
+        result["sf_dir"] = sf_dir
+        result["cores"] = cores
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
