@@ -89,6 +89,191 @@ def read_sequence_stream(
     return reader.parquet(src_dir)
 
 
+
+_OUT_COLS = [f.name for f in _OUT_SCHEMA.fields]
+_BASE_COLS = ["id", "doc_id", "tokens", "n_tok", "env", "tag_base", "source"]
+
+
+def _concat_fold(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    compiled: dict,
+    max_len: int,
+    max_merged: int,
+    gap_ms: int,
+) -> Iterator[pd.DataFrame]:
+    """VECTORIZED sequential-fold restatement (module-level so the no-Spark
+    property test can drive it against a sequential reference).  The
+    reference folds one row at a time (concator_f.go:140-207); here each
+    micro-batch group is sessionized with segmented numpy ops — per-row
+    Python only touches actual continuation tails (~2% of rows in the
+    reference's traffic mix).  Semantics proof hooks: "last head wins" =
+    cumsum(is_head); overflow (:197-202) checks chars/rows ALREADY
+    buffered, both nondecreasing within a session, so the first
+    overflowing tail and every later one stand alone — exactly the
+    sequential outcome where open_sess closes and stays None until the
+    next head (:151-157)."""
+    import numpy as np
+
+    tag, container = key
+    carry: dict | None = None
+    if state.exists:
+        s = state.get
+        carry = {
+            "id": int(s[0]), "doc_id": s[1], "tokens": list(s[2]),
+            "n_tok": int(s[3]), "env": s[4], "tag_base": s[5],
+            "source": s[6], "ext_ids": list(s[7]),
+        }
+
+    def _carry_row() -> dict:
+        return {
+            "tag": tag, "container_id": container, "id": carry["id"],
+            "doc_id": carry["doc_id"], "tokens": carry["tokens"],
+            "n_tok": carry["n_tok"], "env": carry["env"],
+            "tag_base": carry["tag_base"], "source": carry["source"],
+            "n_merged": 1 + len(carry["ext_ids"]),
+            "ext_ids": carry["ext_ids"],
+        }
+
+    if state.hasTimedOut:
+        # ConcatorWait gap flush (concator_f.go:91-111)
+        state.remove()
+        yield pd.DataFrame(
+            [_carry_row()] if carry is not None else [], columns=_OUT_COLS
+        )
+        return
+
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:  # no new rows: leave state (and its timer) untouched
+        yield pd.DataFrame([], columns=_OUT_COLS)
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    pdf = pdf.sort_values("id", ignore_index=True)
+    rx = compiled.get(pdf["tag_base"].iat[0])  # tag fixed per group
+
+    if rx is None:
+        # unconfigured tag: passthrough (no state was ever kept)
+        out = pdf[_BASE_COLS].copy()
+        out["n_merged"] = 1
+        out["ext_ids"] = [[]] * len(out)
+        out["tag"], out["container_id"] = tag, container
+        yield out[_OUT_COLS]
+        return
+
+    n = len(pdf)
+    pos = np.arange(n, dtype=np.int64)
+    lens = pdf["source"].str.len().to_numpy(dtype=np.int64)
+    is_head = pdf["source"].str.match(rx).to_numpy(dtype=bool)
+
+    # sess 0 = rows before the batch's first head (the carried session's
+    # tails, or lone tails); k>=1 = the session of the k-th head
+    sess = np.cumsum(is_head)
+    head_pos = np.flatnonzero(is_head)
+    start = np.zeros(n, dtype=np.int64)
+    if len(head_pos):
+        in_sess = sess >= 1
+        start[in_sess] = head_pos[sess[in_sess] - 1]
+
+    # overflow eviction BEFORE append: chars / rows already buffered
+    cum_before = np.cumsum(lens) - lens
+    prior_len = cum_before - cum_before[start]
+    cnt_before = pos - start
+    if carry is not None:
+        seg0 = sess == 0
+        prior_len = prior_len + seg0 * len(carry["source"])
+        cnt_before = cnt_before + seg0 * (1 + len(carry["ext_ids"]))
+    evict = (~is_head) & ((prior_len >= max_len) | (cnt_before >= max_merged))
+    # lone tails (no carry, no head yet) pass through (:151-157)
+    individual = evict if carry is not None else (evict | (sess == 0))
+
+    # the session still open at batch end: the last head's (or the
+    # carried one if no head arrived) — unless it overflowed mid-batch
+    open_label: int | None = (
+        int(sess[-1]) if (len(head_pos) or carry is not None) else None
+    )
+    if open_label is not None and evict[sess == open_label].any():
+        open_label = None
+
+    frames: list[pd.DataFrame] = []
+    if individual.any():
+        ind = pdf.loc[individual, _BASE_COLS].copy()
+        ind["n_merged"] = 1
+        ind["ext_ids"] = [[]] * len(ind)
+        frames.append(ind)
+
+    # merged tails, grouped by session (contiguous runs, id order kept)
+    tails_mask = ~individual & ~is_head
+    src_map: dict[int, str] = {}
+    ext_map: dict[int, list[int]] = {}
+    if tails_mask.any():
+        t_sess = sess[tails_mask]
+        t_ids = pdf.loc[tails_mask, "id"].to_numpy()
+        t_src = pdf.loc[tails_mask, "source"].to_numpy(dtype=object)
+        uniq, first = np.unique(t_sess, return_index=True)
+        bounds = np.append(first, len(t_sess))
+        for k, s0 in enumerate(uniq):
+            lo, hi = bounds[k], bounds[k + 1]
+            src_map[int(s0)] = "".join(t_src[lo:hi])
+            ext_map[int(s0)] = [int(x) for x in t_ids[lo:hi]]
+
+    heads = pdf.loc[is_head, _BASE_COLS].copy()
+    if len(heads):
+        hsess = sess[is_head]  # ascending: 1..len(head_pos)
+        n_m = np.ones(len(heads), dtype=np.int64)
+        ext_col: list[list[int]] = [[]] * len(heads)
+        src_col = heads["source"].to_numpy(dtype=object).copy()
+        for s0, ids_ in ext_map.items():
+            if s0 == 0:
+                continue  # carried session's tails, handled below
+            j = int(np.searchsorted(hsess, s0))
+            src_col[j] = src_col[j] + src_map[s0]
+            ext_col[j] = ids_
+            n_m[j] = 1 + len(ids_)
+        heads["source"] = src_col
+        heads["ext_ids"] = ext_col
+        heads["n_merged"] = n_m
+
+    new_state: tuple | None = None
+    if carry is not None:
+        c_src = carry["source"] + src_map.get(0, "")
+        c_ext = carry["ext_ids"] + ext_map.get(0, [])
+        if open_label == 0:  # no head this batch: stays open, grown
+            new_state = (
+                carry["id"], carry["doc_id"], carry["tokens"],
+                carry["n_tok"], carry["env"], carry["tag_base"],
+                c_src, c_ext,
+            )
+        else:  # next head arrived (or overflow): flushes now
+            carry.update(source=c_src, ext_ids=c_ext)
+            frames.append(pd.DataFrame([_carry_row()]))
+
+    if open_label is not None and open_label >= 1:
+        h = heads.iloc[-1]  # the last head session is always last
+        new_state = (
+            int(h["id"]), h["doc_id"], [int(x) for x in h["tokens"]],
+            int(h["n_tok"]), h["env"], h["tag_base"], h["source"],
+            [int(x) for x in h["ext_ids"]],
+        )
+        heads = heads.iloc[:-1]
+    if len(heads):
+        frames.append(heads)
+
+    if new_state is not None:
+        state.update(new_state)
+        state.setTimeoutDuration(gap_ms)
+    elif state.exists:
+        state.remove()
+
+    if not frames:
+        yield pd.DataFrame([], columns=_OUT_COLS)
+        return
+    out = pd.concat(frames, ignore_index=True)
+    out["tag"], out["container_id"] = tag, container
+    yield out[_OUT_COLS]
+
+
 def concat_sessions_streaming(
     df: DataFrame,
     configs: dict[str, dict] | None = None,
@@ -108,80 +293,11 @@ def concat_sessions_streaming(
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        tag, container = key
-        out_rows: list[dict] = []
-        open_sess: dict | None = None
-        if state.exists:
-            s = state.get
-            open_sess = {
-                "id": int(s[0]), "doc_id": s[1],
-                "tokens": [int(x) for x in s[2]], "n_tok": int(s[3]),
-                "env": s[4], "tag_base": s[5], "source": s[6],
-                "ext_ids": [int(x) for x in s[7]],
-            }
-
-        def flush(sess):
-            out_rows.append(
-                {
-                    "tag": tag, "container_id": container, "id": sess["id"],
-                    "doc_id": sess["doc_id"], "tokens": sess["tokens"],
-                    "n_tok": sess["n_tok"], "env": sess["env"],
-                    "tag_base": sess["tag_base"], "source": sess["source"],
-                    "n_merged": 1 + len(sess["ext_ids"]),
-                    "ext_ids": sess["ext_ids"],
-                }
-            )
-
-        if state.hasTimedOut:
-            # ConcatorWait gap flush (concator_f.go:91-111)
-            if open_sess is not None:
-                flush(open_sess)
-            state.remove()
-            yield pd.DataFrame(out_rows, columns=[f.name for f in _OUT_SCHEMA.fields])
-            return
-
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id")
-            for r in pdf.itertuples(index=False):
-                rx = compiled.get(r.tag_base)
-                is_head = bool(rx.match(r.source)) if rx else None
-                row = {
-                    "id": int(r.id), "doc_id": r.doc_id,
-                    "tokens": [int(x) for x in r.tokens],
-                    "n_tok": int(r.n_tok), "env": r.env, "tag_base": r.tag_base,
-                    "source": r.source, "ext_ids": [],
-                }
-                if is_head is None:  # unconfigured tag: passthrough
-                    flush(row)
-                elif is_head:
-                    if open_sess is not None:
-                        flush(open_sess)  # next head flushes (concator_f.go:172-180)
-                    open_sess = row
-                elif open_sess is None:
-                    flush(row)  # lone tail passthrough (concator_f.go:151-157)
-                elif (
-                    len(open_sess["source"]) >= max_len
-                    or 1 + len(open_sess["ext_ids"]) >= max_merged
-                ):
-                    flush(open_sess)  # max_len/max_merged overflow (:197-202)
-                    open_sess = None
-                    flush(row)
-                else:
-                    open_sess["source"] += r.source  # no separator (:188-189)
-                    open_sess["ext_ids"].append(int(r.id))
-
-        if open_sess is not None:
-            state.update(
-                (
-                    open_sess["id"], open_sess["doc_id"], open_sess["tokens"],
-                    open_sess["n_tok"], open_sess["env"], open_sess["tag_base"],
-                    open_sess["source"], open_sess["ext_ids"],
-                )
-            )
-            state.setTimeoutDuration(gap_ms)
-        elif state.exists:
-            state.remove()
-        yield pd.DataFrame(out_rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+        return _concat_fold(
+            key, pdfs, state,
+            compiled=compiled, max_len=max_len,
+            max_merged=max_merged, gap_ms=gap_ms,
+        )
 
     return df.groupBy("tag", "container_id").applyInPandasWithState(
         fold,
