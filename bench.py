@@ -133,6 +133,35 @@ def main() -> None:
     timed("dataprep_pii_scrub", lambda: DP.pii_scrub(spark, sf_dir).count())
     timed("dataprep_token_vocab_topk", lambda: DP.token_vocab_topk(spark, sf_dir).count())
 
+    # streaming-mode end-to-end (the apples-to-apples number vs the
+    # reference DAEMON's 19,111 msg/s): same engine code through Structured
+    # Streaming, micro-batch + bulk trigger sizes — see tools/stream_bench.py
+    # and BENCH.md "Streaming mode".  Kept out of `queries` (it is not a
+    # batch headline query); compact two-number summary only.
+    stream_summary = None
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+        import shutil
+        import tempfile
+
+        from tools.stream_bench import run_stream_bench
+
+        swork = tempfile.mkdtemp(
+            prefix="bench-stream-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        try:
+            sres = run_stream_bench(
+                spark, sf_dir, swork,
+                reps=int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "1")),
+            )
+            stream_summary = {
+                "rows_per_sec": sres["rows_per_sec"],
+                "bulk_rows_per_sec": sres["bulk_rows_per_sec"],
+                "batches": sres["batches"],
+            }
+        finally:
+            shutil.rmtree(swork, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     e2e = timings["pipeline_routed_materialize"]
     result = {
@@ -146,6 +175,8 @@ def main() -> None:
         "rep": rep,
         "seq_per_sec": round(n_rows / e2e, 1) if e2e else None,
     }
+    if stream_summary is not None:
+        result["stream"] = stream_summary
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":

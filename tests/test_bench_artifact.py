@@ -68,6 +68,11 @@ def test_compact_scaling_stays_small_even_with_max_pairs():
             "cores": 32,
             "rep": 4,
             "seq_per_sec": 102916.0,
+            "stream": {
+                "rows_per_sec": 28000,
+                "bulk_rows_per_sec": 60000,
+                "batches": 6,
+            },
             "scaling": compact,
         }
     )
