@@ -159,6 +159,11 @@ def main() -> None:
                 "bulk_rows_per_sec": sres["bulk_rows_per_sec"],
                 "batches": sres["batches"],
             }
+        except Exception as exc:  # noqa: BLE001
+            # fail-soft: a streaming hiccup must never cost the whole
+            # artifact (the r4 lesson) — degrade to an error marker.
+            print(f"stream bench failed: {exc!r}", file=sys.stderr)
+            stream_summary = {"error": type(exc).__name__}
         finally:
             shutil.rmtree(swork, ignore_errors=True)
 

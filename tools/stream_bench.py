@@ -100,6 +100,14 @@ def run_stream_bench(spark, sf_dir: str, work_dir: str, reps: int = 2) -> dict:
                     seen.add(bid)
                     consumed += p.get("numInputRows", 0)
             if consumed < n_rows:
+                if not q.isActive:
+                    # the query DIED (e.g. a JVM error killed the stream
+                    # execution thread) — fail fast with its exception
+                    # instead of spinning out the full drain deadline.
+                    raise RuntimeError(
+                        f"stream query terminated at {consumed}/{n_rows} "
+                        f"rows: {q.exception()}"
+                    )
                 time.sleep(0.1)
         dt = time.perf_counter() - t0
         if consumed < n_rows:
@@ -130,7 +138,11 @@ def run_stream_bench(spark, sf_dir: str, work_dir: str, reps: int = 2) -> dict:
         return best
 
     dt, delivered, n_batches = best_of("micro", FILES_PER_TRIGGER)
-    bulk_dt, _, _ = best_of("bulk", BULK_TRIGGER)
+    try:
+        bulk_dt, _, _ = best_of("bulk", BULK_TRIGGER)
+    except Exception as exc:  # noqa: BLE001 — keep the micro numbers
+        print(f"bulk stream run failed: {exc!r}", file=sys.stderr)
+        bulk_dt = None
     return {
         "metric": "stream_pipeline",
         "unit": "sec",
@@ -140,8 +152,8 @@ def run_stream_bench(spark, sf_dir: str, work_dir: str, reps: int = 2) -> dict:
         "batches": n_batches,
         "rows_per_sec": int(n_rows / dt),
         "files_per_trigger": FILES_PER_TRIGGER,
-        "bulk_rows_per_sec": int(n_rows / bulk_dt),
-        "bulk_value": round(bulk_dt, 3),
+        "bulk_rows_per_sec": int(n_rows / bulk_dt) if bulk_dt else None,
+        "bulk_value": round(bulk_dt, 3) if bulk_dt else None,
     }
 
 
