@@ -3,7 +3,8 @@ end-to-end job on the IDENTICAL input at two parallelism levels (local[N] and
 local[4N] — the sandbox stand-in for N vs 4N executors) and report throughput
 at both plus efficiency = (thr_4N / thr_N) / 4.
 
-Writes/updates the "## Scaling" section of BENCH.md and prints one JSON line.
+Prints one JSON line; set SPARK_GRAFT_WRITE_BENCHMD=1 to also rewrite the
+"## Scaling" section of BENCH.md (off by default — that section is curated).
 
 Usage: python tools/scaling_bench.py [sf_dir] [rep] [n_low] [n_high]
 """
@@ -122,6 +123,10 @@ Best of 2 timed runs after warm-up, fresh JVM per level.
 
 **Scaling efficiency ({n_low}→{n_high} cores): {eff:.3f}** (target ≥ 0.8).
 """
+    # BENCH.md's scaling section is hand-curated history now — rewriting it
+    # from here would clobber it, so the write is opt-in.
+    if os.environ.get("SPARK_GRAFT_WRITE_BENCHMD", "0") != "1":
+        return
     path = os.path.join(REPO, "BENCH.md")
     marker = f"## Scaling local[{n_low}] vs local[{n_high}]"
     existing = open(path).read() if os.path.exists(path) else "# BENCH — measured performance\n\n"
