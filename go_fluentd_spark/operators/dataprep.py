@@ -900,6 +900,99 @@ def sequence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_LOGPROB_SCALE = 10000  # per-bigram logprob quantization (x10000 -> BIGINT)
+
+# BPE-ish tokenizer shared by token_stats and token_lm_scores; the DuckDB
+# twins consume the SAME constant (oracle_dataprep) so the engines cannot
+# drift.  Runs identically under Java regex and RE2 (simple alternation,
+# leftmost-first in both).
+BPE_TOKEN_RE = r"[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def token_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model corpus-fit score per document (the CCNet/
+    Gopher-style 'perplexity filter' signal): fit a maximum-likelihood
+    bigram LM on the corpus itself and score every document by its mean
+    bigram log-probability — low scores flag documents whose token
+    transitions are atypical for the corpus (noise, wrong domain, garbled
+    spans).  Tokens are the shared BPE-ish regex tokens over normalized
+    text; self-scoring with ML counts means every observed bigram has
+    c(a,b) >= 1, so no smoothing term is needed.  (Runs over documents, not
+    the synth sequence table: synth token streams are arithmetic
+    progressions — every token has exactly one global successor, so the
+    signal there is degenerately 0.)
+
+    Cross-engine float discipline: each bigram's ln(c(a,b)/c(a)) is rounded
+    and x10000-quantized to BIGINT PER ROW (one libm call on an exact IEEE
+    division — deterministic, order-free), then summed in exact int64, so
+    the result never depends on float summation order.  ``avg_logprob`` is
+    derived from the two exact integers with one division + round.
+
+    Shape at 100 TB: one narrow per-row tokenize + transform to bigram
+    structs + one explode; bigram-count aggregation is ONE hash shuffle
+    with map-side combine (hot bigrams absorbed by partial agg); context
+    counts derive from the (already reduced) bigram-count table and are
+    tokenizer-bounded (<= |vocab| rows) => broadcast; the count join back
+    to the bigram stream shuffles on the composite (a, b) key (AQE
+    skew-join handles hot pairs); the per-doc reduce is one more
+    map-combined shuffle.  No all-pairs joins, no driver-side state."""
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(
+            norm_text(F.col("text")), F.lit(BPE_TOKEN_RE), 0
+        ).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    big = (
+        d.filter(F.col("n_toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, n_toks - 2),"
+                    " i -> struct(toks[i] AS a, toks[i + 1] AS b))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    )
+    bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cc = bc.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    term_q = F.round(
+        F.round(F.log(F.col("c_ab").cast("double") / F.col("c_a")), 4)
+        * LM_LOGPROB_SCALE,
+        0,
+    ).cast("bigint")
+    scored = (
+        big.join(bc, ["a", "b"])
+        .join(F.broadcast(cc), "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term_q).alias("sum_logprob_q"),
+        )
+    )
+    short = d.filter(F.col("n_toks") < 2).select(
+        "doc_id",
+        F.lit(0).cast("bigint").alias("n_bigrams"),
+        F.lit(0).cast("bigint").alias("sum_logprob_q"),
+    )
+    return scored.unionByName(short).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_logprob_q",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("sum_logprob_q")
+                / (F.lit(LM_LOGPROB_SCALE) * F.col("n_bigrams")),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_logprob"),
+    )
+
+
 CURATION_MIN_QUALITY = 0.5  # keep bar for the curation decision
 
 
@@ -1142,7 +1235,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs(spark, sf_dir).select(
         "doc_id",
         F.size(F.split(t, " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]"), 0)).alias(
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias(
             "n_bpe_tokens"
         ),
         F.length("text").alias("n_chars_actual"),

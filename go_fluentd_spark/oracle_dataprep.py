@@ -66,9 +66,49 @@ def q_token_stats() -> str:
     return f"""
 SELECT doc_id,
   len(string_split({n}, ' ')) AS n_ws_tokens,
-  len(regexp_extract_all({n}, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens,
+  len(regexp_extract_all({n}, '{D.BPE_TOKEN_RE}')) AS n_bpe_tokens,
   length(text) AS n_chars_actual
 FROM documents"""
+
+
+def q_token_lm_scores() -> str:
+    """Mirror of operators/dataprep.py::token_lm_scores (bigram-LM corpus-fit
+    score over the shared BPE-ish tokens).  Same per-row quantization
+    recipe: each bigram's ln(c(a,b)/c(a)) is rounded + x-scale
+    BIGINT-quantized PER ROW, then summed in exact int64 — float summation
+    order never matters, so the engines agree.  DuckDB lists are 1-based
+    (Spark SQL subscripts 0-based): range(1, n_toks) yields the same
+    n_toks-1 (toks[i], toks[i+1]) pairs."""
+    q = D.LM_LOGPROB_SCALE
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all({_norm('text')}, '{D.BPE_TOKEN_RE}') AS toks
+  FROM documents),
+d2 AS (SELECT doc_id, toks, len(toks) AS n_toks FROM d),
+big AS (
+  SELECT doc_id,
+    UNNEST(list_transform(range(1, CAST(n_toks AS INT)),
+                          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS bg
+  FROM d2 WHERE n_toks >= 2),
+big2 AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM big),
+bc AS (SELECT a, b, count(*) AS c_ab FROM big2 GROUP BY a, b),
+cc AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bc GROUP BY a),
+terms AS (
+  SELECT doc_id,
+         CAST(round(round(ln(CAST(c_ab AS DOUBLE) / c_a), 4) * {q}, 0) AS BIGINT) AS tq
+  FROM big2 JOIN bc USING (a, b) JOIN cc USING (a)),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(tq) AS BIGINT) AS sum_logprob_q
+  FROM terms GROUP BY doc_id),
+everydoc AS (
+  SELECT * FROM scored
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM d2 WHERE n_toks < 2)
+SELECT doc_id, n_bigrams, sum_logprob_q,
+       CASE WHEN n_bigrams > 0
+            THEN round(sum_logprob_q / ({q}.0 * n_bigrams), 4)
+            ELSE 0.0 END AS avg_logprob
+FROM everydoc"""
 
 
 def q_winnow_fingerprints() -> str:
