@@ -994,27 +994,37 @@ def token_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_MIN_QUALITY = 0.5  # keep bar for the curation decision
+# LM corpus-fit keep bar (mean bigram ln-prob): ~p5 of the testdata's
+# score distribution at every sf — the perplexity filter drops the worst
+# tail, it does not reshape the corpus
+CURATION_MIN_LM_LOGPROB = -3.45
 
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus CURATION decision — the query a training-data
     pipeline actually ships: keep a document iff it is its near-dup
     cluster's representative AND its quality score clears the bar AND the
-    language ID is confident.  One row per doc with the keep flag and every
-    contributing signal, so rejects are auditable by reason.  Shape at
-    scale: three per-doc signal tables (each already scale-shaped) joined on
-    the doc key — co-partitioned hash joins, no new skew surface."""
+    language ID is confident AND its LM corpus-fit score (token_lm_scores,
+    the perplexity-filter signal) clears the bar.  One row per doc with the
+    keep flag and every contributing signal, so rejects are auditable by
+    reason.  Shape at scale: four per-doc signal tables (each already
+    scale-shaped) joined on the doc key — co-partitioned hash joins, no new
+    skew surface."""
     reps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster", "is_rep")
     q = quality_scores(spark, sf_dir).select("doc_id", "quality")
     lang = langid(spark, sf_dir).select("doc_id", "lang_pred")
-    out = reps.join(q, "doc_id").join(lang, "doc_id")
+    lm = token_lm_scores(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lm_logprob")
+    )
+    out = reps.join(q, "doc_id").join(lang, "doc_id").join(lm, "doc_id")
     keep = (
         (F.col("is_rep") == 1)
         & (F.col("quality") >= CURATION_MIN_QUALITY)
         & (F.col("lang_pred") != "unknown")
+        & (F.col("lm_logprob") >= CURATION_MIN_LM_LOGPROB)
     )
     return out.select(
-        "doc_id", "cluster", "is_rep", "quality", "lang_pred",
+        "doc_id", "cluster", "is_rep", "quality", "lang_pred", "lm_logprob",
         keep.cast("int").alias("keep"),
     )
 

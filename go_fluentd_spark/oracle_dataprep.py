@@ -308,16 +308,20 @@ FROM t"""
 
 
 def q_corpus_curation() -> str:
-    """Mirror of dataprep.corpus_curation: compose the cluster, quality, and
-    language CTEs and apply the same keep rule."""
+    """Mirror of dataprep.corpus_curation: compose the cluster, quality,
+    language, and LM-score CTEs and apply the same keep rule."""
     return f"""
 WITH cl AS ({q_dedup_clusters().strip()}),
 q AS ({q_quality_scores().strip()}),
-l AS ({q_langid().strip()})
+l AS ({q_langid().strip()}),
+lm AS ({q_token_lm_scores().strip()})
 SELECT cl.doc_id, cl.cluster, cl.is_rep, q.quality, l.lang_pred,
+  lm.avg_logprob AS lm_logprob,
   CAST(cl.is_rep = 1 AND q.quality >= {D.CURATION_MIN_QUALITY}
-       AND l.lang_pred != 'unknown' AS INT) AS keep
-FROM cl JOIN q ON q.doc_id = cl.doc_id JOIN l ON l.doc_id = cl.doc_id"""
+       AND l.lang_pred != 'unknown'
+       AND lm.avg_logprob >= {D.CURATION_MIN_LM_LOGPROB} AS INT) AS keep
+FROM cl JOIN q ON q.doc_id = cl.doc_id JOIN l ON l.doc_id = cl.doc_id
+JOIN lm ON lm.doc_id = cl.doc_id"""
 
 
 def q_ngram_jaccard_pairs() -> str:
