@@ -132,6 +132,7 @@ def main() -> None:
     timed("dataprep_sequence_chunks", lambda: DP.sequence_chunks(spark, sf_dir).count())
     timed("dataprep_pii_scrub", lambda: DP.pii_scrub(spark, sf_dir).count())
     timed("dataprep_token_vocab_topk", lambda: DP.token_vocab_topk(spark, sf_dir).count())
+    timed("dataprep_token_lm", lambda: DP.token_lm_scores(spark, sf_dir).count())
 
     # streaming-mode end-to-end (the apples-to-apples number vs the
     # reference DAEMON's 19,111 msg/s): same engine code through Structured

@@ -62,7 +62,7 @@ def test_compact_scaling_stays_small_even_with_max_pairs():
             "(parse→enrich→route→aggregate over tokenized sequences)",
             "value": 31.826,
             "unit": "sec",
-            "queries": {f"dataprep_query_name_{i:02d}": 3.141 for i in range(15)},
+            "queries": {f"dataprep_query_name_{i:02d}": 3.141 for i in range(16)},
             "sf": "0.1",
             "rows": 600000,
             "cores": 32,
