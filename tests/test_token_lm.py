@@ -68,6 +68,38 @@ def test_token_lm_scores_semantics(spark, tmp_path):
     assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
 
 
+def test_token_lm_scores_adversarial_skew(spark, tmp_path):
+    """Hot-key correctness: one document is a single token repeated 5,000
+    times — its (z,z) bigram is a massive hot key in both the count groupBy
+    and the count join (map-side combine + AQE absorb it; this pins the
+    VALUES stay right under that skew).  z only ever follows z, so the doc
+    still scores a perfect 0; a small doc sharing z as context gets the
+    minority penalty ln(1/c(z)) for its one (z,y) transition."""
+    from pyspark.sql import Row
+
+    hot = " ".join(["z"] * 5000)
+    rows = [
+        Row(doc_id=1, text=hot, lang="en", source="t", n_chars=len(hot)),
+        Row(doc_id=2, text="z y", lang="en", source="t", n_chars=3),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(p)
+    out = {
+        r["doc_id"]: r
+        for r in DP.token_lm_scores(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_bigrams"] == 4999
+    # c(z,z)=4999, c(z,y)=1, c(z)=5000: doc 1's terms are all
+    # ln(4999/5000) ~ -0.0002 -> quantized -2 each
+    import math
+
+    zz_q = round(round(math.log(4999 / 5000), 4) * DP.LM_LOGPROB_SCALE)
+    assert out[1]["sum_logprob_q"] == 4999 * zz_q
+    zy_q = round(round(math.log(1 / 5000), 4) * DP.LM_LOGPROB_SCALE)
+    assert out[2]["sum_logprob_q"] == zy_q
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"] < 0
+
+
 def test_token_lm_scores_mass_conservation(spark, sf_dir):
     """Σ n_bigrams over docs == Σ (n_toks - 1) over docs with >= 2 tokens —
     the explode lost nothing and the count join dropped no bigram."""
