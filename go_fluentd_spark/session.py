@@ -46,7 +46,17 @@ def build_spark(
         # 8-core budget; G1 (the JVM default) wins at executor-realistic core
         # counts, so no override here.  Pass it via extra_conf to experiment.
     )
-    for k, v in (extra_conf or {}).items():
+    extra_conf = dict(extra_conf or {})
+    # Bigger thread stacks for the driver JVM (inert unless this call
+    # actually launches the JVM): Spark's own
+    # StreamExecution.isInterruptionException classifies a caught stream
+    # error by running a regex over its MESSAGE, and java.util.regex
+    # recursion is linear in message length — a long py4j traceback blows
+    # the default 1 MiB stream-execution-thread stack (StackOverflowError,
+    # observed 3x here; the drain protocol's cooperative stop removes the
+    # common trigger, this guards the rest).  Virtual memory only.
+    extra_conf.setdefault("spark.driver.extraJavaOptions", "-Xss16m")
+    for k, v in extra_conf.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

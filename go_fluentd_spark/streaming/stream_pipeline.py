@@ -22,6 +22,7 @@ two genuinely streaming-only pieces:
 from __future__ import annotations
 
 import os
+import threading
 from typing import Iterator
 
 import pandas as pd
@@ -34,6 +35,12 @@ from go_fluentd_spark.operators.acceptor import acceptor_chain
 from go_fluentd_spark.operators.enrich import msgid
 from go_fluentd_spark.operators.parser import parse
 from go_fluentd_spark.sources.synth import with_ingest_columns
+
+# query id -> cooperative-stop flag for its foreachBatch sink; set by
+# drain_and_stop once the drain protocol proves the stream empty, so the
+# post-settle empty batches run no jobs and stop() never interrupts an
+# in-flight py4j write call (see the sink_batch comment).
+_STOP_FLAGS: dict[str, threading.Event] = {}
 
 SEQ_SCHEMA = T.StructType(
     [
@@ -381,7 +388,7 @@ def drain_and_stop(
     import time
 
     deadline = time.monotonic() + timeout_s
-    last_batch, streak = -1, 0
+    last_batch, streak, settled = -1, 0, False
     while q.isActive and time.monotonic() < deadline:
         p = q.lastProgress
         if p is not None and p.get("batchId", -1) != last_batch:
@@ -393,13 +400,36 @@ def drain_and_stop(
             if p.get("numInputRows", 0) == 0 and state_empty:
                 streak += 1
                 if streak >= settle_batches:
+                    settled = True
                     break
             else:
                 streak = 0
         time.sleep(poll_s)
-    if q.isActive:
-        q.stop()
-    q.awaitTermination(60)
+    # cooperative stop — ONLY on the settled path (every remaining batch is
+    # provably empty): flag the foreachBatch sink down to its count()-only
+    # form (full state execution, no writes — see the sink_batch comment
+    # for why both lighter variants corrupt the checkpoint), give the
+    # in-flight full batch a beat to commit, then interrupt.  Wherever the
+    # interrupt lands the checkpoint stays consistent: a cancelled count
+    # RAISES, failing its batch before the commit log is written.  The
+    # possible terminal exception (cancelled empty batch) is harmless noise
+    # by construction — every source row was committed batches ago and the
+    # state store is empty — so it is tolerated on the settled path only.
+    ev = _STOP_FLAGS.pop(str(q.id), None)
+    if not settled:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(60)
+        return
+    if ev is not None and q.isActive:
+        ev.set()
+        time.sleep(max(poll_s, 1.0))
+    try:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(60)
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def run_pipeline_stream(
@@ -462,7 +492,37 @@ def run_pipeline_stream(
             conds = c if conds is None else (conds | c)
         sink_whens.append(F.when(conds, F.lit(sink.name)))
 
+    stop_event = threading.Event()
+
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # cooperative stop (see drain_and_stop): once the drain protocol has
+        # proven the stream empty (consecutive committed zero-input batches
+        # with an empty state store), it sets this flag so the endless
+        # post-settle empty batches run NO jobs — q.stop()'s interrupt then
+        # lands between py4j calls instead of inside an in-flight write.
+        # (Stopping mid-write is what tripped SPARK's own
+        # StreamExecution.isInterruptionException: its interrupt-detection
+        # regex recurses over the py4j error MESSAGE, and a long traceback
+        # string blows the stream-execution thread's stack —
+        # java.util.regex StackOverflowError, observed 3x at sf0.1.)  Only
+        # provably-empty batches skip the persist + write jobs: the flag is
+        # set strictly after the settle condition, when the availableNow
+        # source is exhausted and the concat state fully flushed.  The
+        # count() is NOT optional and must NOT swallow errors — both were
+        # tried and are UNSOUND, because Spark 4.1 writes the batch commit
+        # log BEFORE the state-store commit validation runs:
+        # - return-without-jobs => the batch commits with ZERO state deltas
+        #   (validation kills the query only afterwards) => restart dies
+        #   with CANNOT_READ_DELTA_FILE_NOT_EXISTS;
+        # - count()+swallow => a stop()-cancelled count returns success
+        #   over PARTIAL per-partition deltas, same checkpoint corruption.
+        # A full count() executes every state partition (commit validation
+        # passes, the batch commits consistently), and if the drain's
+        # q.stop() cancels it mid-flight the raise fails the batch, so it
+        # never commits and a restart replays it — consistent either way.
+        if stop_event.is_set():
+            batch_df.count()
+            return
         # every write below is idempotent per batch (foreachBatch is
         # at-least-once: a retry re-delivers the same batch_id, and dynamic
         # partition overwrite replaces that batch's partition instead of
@@ -492,11 +552,20 @@ def run_pipeline_stream(
             counts = batch_df.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
             _write_batch_partition(counts, os.path.join(out_dir, "_counts"), batch_id)
         finally:
-            batch_df.unpersist()
+            # blocking: consecutive EMPTY batches have identical logical
+            # plans, so with the default async unpersist batch N+1's first
+            # action can hit batch N's not-yet-dropped cache entry, execute
+            # ZERO stateful tasks, and flunk Spark 4's state-store commit
+            # validation ("expected K commits but got 0") — a flaky query
+            # death observed ~25% of drains once the cooperative-stop grace
+            # period let more empty batches run.
+            batch_df.unpersist(blocking=True)
 
-    return (
+    q = (
         df.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    _STOP_FLAGS[str(q.id)] = stop_event
+    return q
