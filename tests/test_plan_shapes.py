@@ -55,21 +55,44 @@ def test_sequence_chunks_is_narrow(spark):
         assert _n(plan, op) == 0
 
 
-def test_substr_dup_spans_single_gram_pass(spark):
-    """The round-5 restructure's plan properties: the gram pipeline appears
-    ONCE per consumer side (2 Generates total: the gram posexplode feeding
-    the window + the final seq branch has none — vs 4 pre-restructure), the
-    whole query needs at most 5 non-broadcast exchanges (synth repartition,
-    gram-key window, doc-key windows/aggs), and nothing sort-merges or
-    nested-loops; the token-level cut itself never shuffles (no exchange
-    after the per-doc aggregation join)."""
+def test_substr_dup_spans_plan_shape(spark):
+    """Round-6 de-skewed shape (VERDICT r5 #1): the duplicated-gram test is
+    a map-combined HashAggregate + semi-join back — NO window function may
+    partition by the raw gram key (a hot boilerplate gram would put every
+    occurrence into one task's sort), and the min/max must stay
+    hash-aggregable (no SortAggregate: string min/max buffers silently
+    degrade to one, re-sorting the full gram stream).  The gram pipeline
+    appears once per consumer side (2 Generates), at most 5 non-broadcast
+    exchanges, nothing sort-merges or nested-loops, and the token-level cut
+    is a JVM-side HOF (no Python nodes, no exchange after the per-doc
+    join)."""
     plan = _plan(DP.substr_dup_spans(spark, SF))
+    assert not re.search(r"windowspecdefinition\(gram", plan), plan[:2000]
+    assert _n(plan, "SortAggregate") == 0, plan[:2000]
     assert _n(plan, "Generate") <= 2, plan[:2000]
     assert _n(plan, "Exchange") <= 5, plan[:2000]
     assert _n(plan, "SortMergeJoin") == 0
     assert _n(plan, "CartesianProduct") == 0
     assert _n(plan, "BroadcastNestedLoopJoin") == 0
     assert _n(plan, "ArrowEvalPython") == 0  # the cut is a JVM-side HOF
+
+
+def test_token_lm_plan_shape(spark):
+    """VERDICT r5 #7: the bigram-LM query's skew safety must be visible in
+    the plan — the bigram-count aggregation partial-combines map-side
+    (HashAggregate pairs, never SortAggregate, so a Zipf-head hot bigram
+    collapses to one row per map partition before any shuffle), no window
+    partitions by the bigram key, and the count join back is a hash join
+    (broadcast when small, AQE-skew-splittable shuffle otherwise — never a
+    nested loop).  ADVICE r5: no FORCED broadcast pins the context-count
+    join (the plan may still broadcast by size estimate)."""
+    plan = _plan(DP.token_lm_scores(spark, SF))
+    assert _n(plan, "SortAggregate") == 0, plan[:2000]
+    # partial+final HashAggregate for bc, cc, and the per-doc reduce
+    assert _n(plan, "HashAggregate") >= 6, plan[:2000]
+    assert _n(plan, "Window") == 0
+    assert _n(plan, "CartesianProduct") == 0
+    assert _n(plan, "BroadcastNestedLoopJoin") == 0
 
 
 def test_lsh_pair_joins_never_nested_loop(spark):
