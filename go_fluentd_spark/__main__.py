@@ -171,8 +171,18 @@ def main(argv: list[str] | None = None) -> int:
             q = run_pipeline_stream(spark, args.src, args.out, args.checkpoint)
             # availableNow + the stateful concator never self-terminates
             # (empty timeout batches loop) — drain: all input processed,
-            # open sessions gap-flushed, then stop
-            drain_and_stop(q)
+            # open sessions gap-flushed, then stop.  A drain that hits the
+            # idle deadline instead of settling may have TRUNCATED the run
+            # (checkpoint stays consistent/resumable) — say so and exit
+            # non-zero instead of silently reporting success (ADVICE r5).
+            if not drain_and_stop(q):
+                print(
+                    "stream drain did not settle: input may be only "
+                    "partially processed; checkpoint is resumable — re-run "
+                    "to continue",
+                    file=sys.stderr,
+                )
+                return 1
         return 0
     finally:
         spark.stop()

@@ -70,10 +70,13 @@ LANG_MARKERS = {
 }
 
 
-#: (path, cores) -> scan partition count, so repeated query builds (composite
-#: queries re-open the same table several times per plan) pay the physical
-#: planning + split-enumeration probe ONCE per session (ADVICE r4)
-_SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
+#: (app_id, path, cores) -> scan partition count, so repeated query builds
+#: (composite queries re-open the same table several times per plan) pay the
+#: physical planning + split-enumeration probe ONCE per session (ADVICE r4).
+#: Keyed by the Spark applicationId (ADVICE r5): a fresh session in the same
+#: Python process re-probes, so a table rewritten with a different split
+#: count between sessions cannot serve a stale fan-out decision.
+_SCAN_PARTS_CACHE: dict[tuple[str, str, int], int] = {}
 
 
 def _fan_out(spark: SparkSession, df: DataFrame, key: str, path: str) -> DataFrame:
@@ -85,7 +88,7 @@ def _fan_out(spark: SparkSession, df: DataFrame, key: str, path: str) -> DataFra
     session's parallelism we hash-repartition on the row key once — which
     also co-partitions every downstream self-join on that key."""
     target = spark.sparkContext.defaultParallelism
-    ck = (path, target)
+    ck = (spark.sparkContext.applicationId, path, target)
     if ck not in _SCAN_PARTS_CACHE:
         _SCAN_PARTS_CACHE[ck] = df.rdd.getNumPartitions()
     if _SCAN_PARTS_CACHE[ck] < target:

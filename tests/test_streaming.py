@@ -24,12 +24,12 @@ def test_stream_two_batches_with_restart(spark, sf_dir, tmp_path):
     # batch 1: half the rows
     _write_batch(spark, sf_dir, src, 0)
     q = run_pipeline_stream(spark, src, out, ckpt)
-    drain_and_stop(q)
+    assert drain_and_stop(q)  # settled drain reports True (ADVICE r5)
 
     # batch 2: remaining rows; NEW query from the same checkpoint (restart)
     _write_batch(spark, sf_dir, src, 1)
     q2 = run_pipeline_stream(spark, src, out, ckpt)
-    drain_and_stop(q2)
+    assert drain_and_stop(q2)
 
     got = spark.read.parquet(os.path.join(out, "sink=es_general"))
     # the batch pipeline (no streaming gap-flush pending sessions) is the
