@@ -29,12 +29,16 @@ def route(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def route_counts(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The per-sink/per-tag aggregate counters (dispacher.go:154-177,
-    monitor.go:19-42) — the correctness gate's headline aggregate."""
-    return (
-        route(spark, df, cfg)
-        .groupBy("sink", "tag")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    monitor.go:19-42) — the correctness gate's headline aggregate.
+
+    Round 6 (guide §2.3, aggregate before you multiply): counts are reduced
+    per TAG first — the sink fan-out join then duplicates |tags| aggregate
+    rows instead of every message row, and the count over a (sink, tag)
+    pair equals the tag's count exactly because membership rows are unique
+    per (sink, tag).  Same result, one row per matching membership."""
+    per_tag = df.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+    dim = sink_membership(spark, cfg)
+    return per_tag.join(F.broadcast(dim), "tag", "inner").select("sink", "tag", "n")
 
 
 def http_sink_bodies(
